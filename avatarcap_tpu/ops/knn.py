@@ -1,0 +1,81 @@
+"""Brute-force K-nearest-neighbors on TPU.
+
+Replaces pytorch3d's CUDA ``knn_points``/``knn_gather`` (used by the
+reference at network/arch_avatar.py:190,208, utils/smpl_util.py:33,49,
+dataset/avatarcap_dataset.py:114, main.py:483). The reference database is
+tiny and fixed (6,890 SMPL vertices or a mesh's vertices), so squared
+distances are computed as one big matmul per query tile — MXU work — and
+top-K is a lax.top_k over the database axis. Millions of query points are
+processed in static-size chunks via lax.map so peak memory stays bounded.
+
+Distances are *squared* L2, matching pytorch3d's convention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int):
+    """q: (C, 3), db: (M, 3), db_sq: (M,) -> dists (C, k), idx (C, k)."""
+    # |q - v|^2 = |q|^2 - 2 q.v + |v|^2 ; the cross term is a matmul (MXU).
+    cross = jnp.matmul(q, db.T, precision="highest")  # (C, M)
+    d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * cross + db_sq[None, :]
+    neg, idx = jax.lax.top_k(-d2, k)
+    return jnp.maximum(-neg, 0.0), idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(queries: jnp.ndarray, database: jnp.ndarray, k: int = 1,
+        chunk: int = 65536):
+    """K nearest database points for each query point.
+
+    Args:
+      queries: (N, 3).
+      database: (M, 3).
+      k: neighbors.
+      chunk: query tile size (static). N is padded up to a multiple.
+    Returns:
+      dists: (N, k) squared distances (ascending), idx: (N, k) int32.
+    """
+    N = queries.shape[0]
+    db_sq = jnp.sum(database * database, axis=-1)
+    if N <= chunk:
+        return _knn_chunk(queries, database, db_sq, k)
+    pad = (-N) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qp = qp.reshape(-1, chunk, 3)
+    dists, idx = jax.lax.map(
+        lambda q: _knn_chunk(q, database, db_sq, k), qp)
+    return dists.reshape(-1, k)[:N], idx.reshape(-1, k)[:N]
+
+
+def knn_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather (M, C) values at (N, K) indices -> (N, K, C)."""
+    return values[idx]
+
+
+def approx_lbs_weights(points: jnp.ndarray, smpl_vertices: jnp.ndarray,
+                       skinning_weights: jnp.ndarray, k: int = 4,
+                       radius: float = 0.05, chunk: int = 65536):
+    """Gaussian-weighted KNN approximation of LBS weights near the body.
+
+    Reference semantics (utils/smpl_util.py:24-39): K=4 neighbors of the
+    canonical SMPL surface, weights exp(-d^2 / (2 r^2)) with r=5cm,
+    normalized with a 1e-16 floor.
+
+    Args:
+      points: (N, 3) query points.
+      smpl_vertices: (M, 3).
+      skinning_weights: (M, J).
+    Returns:
+      (N, J) blend weights.
+    """
+    d2, idx = knn(points, smpl_vertices, k=k, chunk=chunk)
+    w = jnp.exp(-d2 / (2.0 * radius * radius))
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-16)
+    lbs = skinning_weights[idx]  # (N, K, J)
+    return jnp.sum(lbs * w[..., None], axis=-2)

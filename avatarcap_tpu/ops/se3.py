@@ -1,0 +1,78 @@
+"""Rotation / rigid-transform math.
+
+Closed-form Rodrigues replaces the host-side ``cv2.Rodrigues`` calls of the
+reference (reference dataset/smpl.py:81, normal_fusion/normal_fusion.py:124's
+pytorch3d ``axis_angle_to_matrix``), so the whole pose path stays on device
+and batches under ``vmap``/``jit``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle vectors -> rotation matrices, Rodrigues formula.
+
+    Args:
+      aa: (..., 3) axis-angle (direction = axis, norm = angle in radians).
+
+    Returns:
+      (..., 3, 3) rotation matrices. Matches cv2.Rodrigues / pytorch3d
+      axis_angle_to_matrix for all inputs, including angle -> 0 (uses a
+      Taylor-stable formulation).
+    """
+    aa = jnp.asarray(aa)
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)  # (..., 1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
+    # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor fallbacks.
+    small = theta2[..., 0] < 1e-8
+    sin_over = jnp.where(small, 1.0 - theta2[..., 0] / 6.0,
+                         jnp.sin(theta[..., 0]) / theta[..., 0])
+    one_minus_cos_over = jnp.where(small, 0.5 - theta2[..., 0] / 24.0,
+                                   (1.0 - jnp.cos(theta[..., 0])) / theta2[..., 0])
+
+    x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
+    zeros = jnp.zeros_like(x)
+    # K = [a]_x (cross-product matrix of the *unnormalized* axis-angle vec)
+    K = jnp.stack([
+        jnp.stack([zeros, -z, y], axis=-1),
+        jnp.stack([z, zeros, -x], axis=-1),
+        jnp.stack([-y, x, zeros], axis=-1),
+    ], axis=-2)  # (..., 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    # K @ K == a a^T - |a|^2 I (outer product form: full f32 on the VPU,
+    # avoiding TPU default-precision 3x3 matmuls)
+    KK = aa[..., :, None] * aa[..., None, :] - theta2[..., None] * eye
+    return (eye
+            + sin_over[..., None, None] * K
+            + one_minus_cos_over[..., None, None] * KK)
+
+
+def rigid_inverse(mats: jnp.ndarray) -> jnp.ndarray:
+    """Invert (..., 4, 4) rigid transforms without a general solve.
+
+    Equivalent to torch.linalg.inv on SE(3) matrices
+    (reference network/arch_avatar.py:199) but cheaper and exactly
+    orthogonal-friendly: inv([R t; 0 1]) = [R^T -R^T t; 0 1].
+    """
+    R = mats[..., :3, :3]
+    t = mats[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -Rt @ t], axis=-1)  # (..., 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=mats.dtype), top[..., :1, :].shape
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def transform_points(mats: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply (..., 4, 4) affine mats to (..., 3) points (broadcasting)."""
+    return jnp.einsum("...ij,...j->...i", mats[..., :3, :3], pts,
+                      precision="highest") + mats[..., :3, 3]
+
+
+def transform_dirs(mats: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Apply only the rotation part of affine mats to direction vectors."""
+    return jnp.einsum("...ij,...j->...i", mats[..., :3, :3], dirs,
+                      precision="highest")
