@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# Golden-parity tests compare against f64/f32 torch oracles; run all test
+# matmuls at full f32 (production TPU keeps the default bf16 MXU path).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
