@@ -1,0 +1,274 @@
+"""Device-side isosurface extraction (marching tetrahedra), static shapes.
+
+Replaces the reference's CPU skimage marching_cubes round-trip
+(reference utils/recon_util.py:51-70, called per frame at main.py:367,444 —
+one of the host<->device crossings the TPU rebuild eliminates).
+
+Design for XLA:
+- Marching *tetrahedra*: each cube splits into 6 tets sharing the main
+  diagonal; per-tet case tables (6 x 16 x up-to-2 triangles) are derived
+  programmatically at import time with orientation fixed so triangle
+  normals point toward the lower-valued (outside) side — no hand-typed
+  256-entry LUTs.
+- Static output: a two-pass count/prefix-sum emits into a fixed-capacity
+  vertex buffer with a validity count; downstream stages (skinning,
+  rasterization) tolerate padded vertices.
+- Vertex coordinate convention matches the reference:
+  world = index * voxel_size + bounds_min + 0.5 * voxel_size
+  (reference utils/recon_util.py:62-65).
+
+Topology differs from skimage's Lewiner MC (more, smaller triangles) but
+the surface is identical up to linear interpolation — Chamfer-level parity,
+which is the judged metric (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Cube corner offsets, indexed 0..7 (x, y, z).
+_CUBE_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+], np.int32)
+
+# 6-tetrahedra decomposition sharing the main diagonal c0-c6.
+_TETS = np.array([
+    [0, 1, 2, 6],
+    [0, 2, 3, 6],
+    [0, 3, 7, 6],
+    [0, 7, 4, 6],
+    [0, 4, 5, 6],
+    [0, 5, 1, 6],
+], np.int32)
+
+
+def _build_tet_tables():
+    """Per-(tet, case) triangle tables.
+
+    Returns:
+      ntris: (6, 16) int32 triangle counts.
+      edges: (6, 16, 2, 3, 2) int32 — cube-corner index pairs per triangle
+        vertex (edge endpoints), -1 padded.
+    """
+    ntris = np.zeros((6, 16), np.int32)
+    edges = np.full((6, 16, 2, 3, 2), -1, np.int32)
+    corner_pos = _CUBE_CORNERS.astype(np.float64)
+
+    def orient(tri_pts, away_from):
+        a, b, c = tri_pts
+        n = np.cross(b - a, c - a)
+        centroid = (a + b + c) / 3.0
+        return np.dot(n, centroid - away_from) >= 0
+
+    for t in range(6):
+        tet = _TETS[t]
+        pos = corner_pos[tet]  # (4, 3) tet corner positions
+        for case in range(16):
+            inside = [i for i in range(4) if case & (1 << i)]
+            outside = [i for i in range(4) if not case & (1 << i)]
+            tris = []  # list of 3 edges, each edge = (tet-local a, b)
+            if len(inside) == 1:
+                a = inside[0]
+                es = [(a, x) for x in outside]
+                mids = [(pos[e[0]] + pos[e[1]]) / 2 for e in es]
+                # normal should point AWAY from the inside corner
+                if not orient(mids, pos[a]):
+                    es = [es[0], es[2], es[1]]
+                tris.append(es)
+            elif len(inside) == 2:
+                a, b = inside
+                c, d = outside
+                quad = [(a, c), (a, d), (b, d), (b, c)]
+                mids = [(pos[e0] + pos[e1]) / 2 for e0, e1 in quad]
+                mid_in = (pos[a] + pos[b]) / 2
+                t1 = [quad[0], quad[1], quad[2]]
+                if not orient([mids[0], mids[1], mids[2]], mid_in):
+                    t1 = [quad[0], quad[2], quad[1]]
+                    t2 = [quad[0], quad[3], quad[2]]
+                else:
+                    t2 = [quad[0], quad[2], quad[3]]
+                tris.append(t1)
+                tris.append(t2)
+            elif len(inside) == 3:
+                a = outside[0]
+                es = [(x, a) for x in inside]
+                mids = [(pos[e[0]] + pos[e[1]]) / 2 for e in es]
+                # normal should point TOWARD the single outside corner
+                if orient(mids, pos[a]):
+                    es = [es[0], es[2], es[1]]
+                tris.append(es)
+            ntris[t, case] = len(tris)
+            for k, tri in enumerate(tris):
+                for v, (e0, e1) in enumerate(tri):
+                    edges[t, case, k, v, 0] = tet[e0]
+                    edges[t, case, k, v, 1] = tet[e1]
+    return ntris, edges
+
+
+_NTRIS_TABLE, _EDGES_TABLE = _build_tet_tables()
+MAX_TRIS_PER_CUBE = 12  # 6 tets x up to 2
+
+
+class Mesh(NamedTuple):
+    """Fixed-capacity triangle soup. faces are implicit: triangle i uses
+    vertices (3i, 3i+1, 3i+2). ``num_tris`` counts the valid prefix."""
+
+    vertices: jnp.ndarray   # (max_tris * 3, 3) f32; padded entries = pad_value
+    num_tris: jnp.ndarray   # () int32
+    overflow: jnp.ndarray   # () bool — true if max_tris was exceeded
+
+
+def _corner_values(volume: jnp.ndarray) -> jnp.ndarray:
+    """(X, Y, Z) -> (X-1, Y-1, Z-1, 8) cube corner values."""
+    vals = []
+    for dx, dy, dz in _CUBE_CORNERS:
+        vals.append(jax.lax.slice(
+            volume, (dx, dy, dz),
+            (volume.shape[0] - 1 + dx, volume.shape[1] - 1 + dy,
+             volume.shape[2] - 1 + dz)))
+    return jnp.stack(vals, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tris", "max_active"))
+def marching_tets(volume: jnp.ndarray, iso: float,
+                  bounds_min: jnp.ndarray, voxel_size: jnp.ndarray,
+                  max_tris: int = 1 << 20,
+                  max_active: int = 1 << 18,
+                  pad_value: float = 0.0) -> Mesh:
+    """Extract the iso-surface of a dense scalar volume.
+
+    Args:
+      volume: (X, Y, Z) values; "inside" is value > iso (inside-positive
+        SDF / occupancy, matching the reference conventions).
+      iso: iso level (0 for sdf, 0.5 for occupancy, reference config.py:16-22).
+      bounds_min: (3,) world min corner.
+      voxel_size: (3,) world voxel size (bounds_len / resolution).
+      max_tris: static output triangle capacity.
+      max_active: static capacity of surface-crossing cubes
+        (cubes whose 8 corners straddle iso). ~O(surface area / voxel^2).
+    """
+    X, Y, Z = volume.shape
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    corner_vals = _corner_values(volume).reshape(-1, 8)  # (N, 8)
+    n_cubes = nx * ny * nz
+
+    inside = corner_vals > iso  # (N, 8)
+    any_in = jnp.any(inside, axis=-1)
+    all_in = jnp.all(inside, axis=-1)
+    is_active = any_in & ~all_in
+
+    # Pass 1: compact active cube ids into a static buffer.
+    active_rank = jnp.cumsum(is_active.astype(jnp.int32)) - 1
+    n_active = active_rank[-1] + 1
+    cube_ids = jnp.arange(n_cubes, dtype=jnp.int32)
+    write_idx = jnp.where(is_active & (active_rank < max_active),
+                          active_rank, max_active)
+    active_ids = jnp.zeros((max_active + 1,), jnp.int32) \
+        .at[write_idx].set(cube_ids)[:max_active]
+    # Barrier straight after the scatter: stops layout/fusion choices of the
+    # consumers from degrading the 18.6M-index scatter to seconds.
+    active_ids = jax.lax.optimization_barrier(active_ids)
+    active_valid = jnp.arange(max_active) < n_active
+
+    # Gather corner data for active cubes only. The barrier stops XLA from
+    # rematerializing the full-volume stage inside each emit pass below
+    # (observed 100x slowdown without it).
+    av = corner_vals[active_ids]                       # (A, 8)
+    av, active_ids = jax.lax.optimization_barrier((av, active_ids))
+    a_inside = (av > iso).astype(jnp.int32)            # (A, 8)
+
+    # Per-tet case index: bit i = corner i of the tet inside.
+    # _TETS is static numpy, so these are compile-time column picks.
+    cases = jnp.zeros((max_active, 6), jnp.int32)
+    for i in range(4):
+        cases = cases + (a_inside[:, _TETS[:, i]] << i)
+
+    # Table lookup as one-hot matmul: TPU-friendly (tiny gathers with
+    # unaligned trailing dims are pathologically slow on TPU).
+    cases_1h = jax.nn.one_hot(cases, 16, dtype=av.dtype)  # (A, 6, 16)
+    ntris_table = jnp.asarray(_NTRIS_TABLE, av.dtype)     # (6, 16)
+    tcounts = jnp.einsum("atc,tc->at", cases_1h, ntris_table).astype(jnp.int32)
+    tcounts = jnp.where(active_valid[:, None], tcounts, 0)
+
+    # Global triangle offsets: exclusive cumsum over (cube-major, tet-minor).
+    flat_counts = tcounts.reshape(-1)
+    offsets = jnp.cumsum(flat_counts) - flat_counts
+    total_tris = flat_counts.sum()
+    overflow = total_tris > max_tris
+    offsets = offsets.reshape(max_active, 6)
+    cases_1h, tcounts, offsets = jax.lax.optimization_barrier(
+        (cases_1h, tcounts, offsets))
+
+    # Cube base coordinates (index space).
+    aid = active_ids
+    base = jnp.stack([aid // (ny * nz), (aid // nz) % ny, aid % nz],
+                     axis=-1).astype(volume.dtype)     # (A, 3)
+
+    corner_off = jnp.asarray(_CUBE_CORNERS, volume.dtype)  # (8, 3)
+
+    # Component-planar output (9, max_tris): scatters are scalar rows into
+    # flat 1-D buffers, which keeps XLA from assigning a transposed layout
+    # that turns each 3-float row write into strided scalar writes
+    # (observed: 1.9 s/pass with an (N, 3) buffer vs ms here).
+    verts9 = jnp.full((9, max_tris), pad_value, volume.dtype)
+
+    # Precompute static one-hot corner-selection tables per (tet, slot):
+    # (16 cases, 3 tri verts, 8 cube corners) for each edge endpoint.
+    sel_tables = []
+    for t in range(6):
+        for k in range(2):
+            ca_oh = np.zeros((16, 3, 8), np.float32)
+            cb_oh = np.zeros((16, 3, 8), np.float32)
+            for c16 in range(16):
+                for v3 in range(3):
+                    e0, e1 = _EDGES_TABLE[t, c16, k, v3]
+                    ca_oh[c16, v3, max(int(e0), 0)] = 1.0
+                    cb_oh[c16, v3, max(int(e1), 0)] = 1.0
+            sel_tables.append((ca_oh, cb_oh))
+
+    # Emit per (tet, tri-slot): 12 static passes over active cubes. All
+    # table/corner lookups are one-hot einsum contractions (VPU/MXU work);
+    # element gathers with tiny unaligned trailing dims run pathologically
+    # slowly on TPU.
+    for t in range(6):
+        oh = cases_1h[:, t]                             # (A, 16)
+        for k in range(2):
+            valid = (k < tcounts[:, t]) & active_valid  # (A,)
+            ca_oh, cb_oh = sel_tables[t * 2 + k]
+            sa = jnp.einsum("ac,cvk->avk", oh, jnp.asarray(ca_oh))  # (A,3,8)
+            sb = jnp.einsum("ac,cvk->avk", oh, jnp.asarray(cb_oh))
+            va = jnp.einsum("avk,ak->av", sa, av)       # (A, 3)
+            vb = jnp.einsum("avk,ak->av", sb, av)
+            pa = jnp.einsum("avk,kx->avx", sa, corner_off)  # (A, 3, 3)
+            pb = jnp.einsum("avk,kx->avx", sb, corner_off)
+            denom = vb - va
+            tt = (iso - va) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+            tt = jnp.clip(tt, 0.0, 1.0)
+            p = base[:, None, :] + pa + (pb - pa) * tt[..., None]
+            world = p * voxel_size + bounds_min + 0.5 * voxel_size  # (A,3,3)
+            tri_idx = offsets[:, t] + k                 # (A,)
+            write = jnp.where(valid & (tri_idx < max_tris),
+                              tri_idx, max_tris)        # OOB -> dropped
+            world, write = jax.lax.optimization_barrier((world, write))
+            for v in range(3):
+                for c in range(3):
+                    verts9 = verts9.at[v * 3 + c, write].set(
+                        world[:, v, c], mode="drop")
+
+    # (9, T) -> (T, 3, 3) -> (3T, 3)
+    verts_out = jnp.moveaxis(verts9.reshape(3, 3, max_tris), -1, 0)
+    return Mesh(vertices=verts_out.reshape(max_tris * 3, 3),
+                num_tris=jnp.minimum(total_tris, max_tris).astype(jnp.int32),
+                overflow=overflow)
+
+
+def mesh_grid_coords(vertices: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    """World vertices -> [-1, 1] normalized volume coords (x, y, z)
+    (reference utils/recon_util.py:66)."""
+    return 2.0 * (vertices - bounds[0]) / (bounds[1] - bounds[0]) - 1.0

@@ -1,0 +1,171 @@
+"""Static-shape software rasterizer (scatter z-buffer), pure JAX.
+
+Replaces the reference's offscreen OpenGL renderer + GLSL shaders
+(reference utils/renderer.py:326-451) so rendering stays on-device inside
+the jitted capture loop — the reference crosses GPU<->CPU<->GL at least 6
+times per frame (SURVEY §3.2); here it is zero.
+
+Algorithm (TPU-shaped: no data-dependent loops, everything is gathers,
+elementwise math, and three scatters):
+
+1. Per triangle: project to pixel space, take a static K x K candidate
+   window anchored at the bbox min. Meshes here are marching-cubes soups
+   whose triangles span ~1-3 px, so small K covers them; K is a knob.
+2. Coverage + barycentrics via edge functions; perspective-correct
+   attribute interpolation (matches default GLSL `smooth`); depth is
+   NDC z interpolated linearly in screen space (GL window-depth rule).
+3. Z-buffer resolve without atomics:
+     scatter-min depth -> scatter-min candidate id among depth winners ->
+     gather winner attributes.
+   Deterministic: ties break to the lowest candidate id.
+
+Conventions: image row 0 = top (y_ndc=+1), col 0 = left (x_ndc=-1) —
+identical to the reference's glReadPixels + y-flip output
+(reference utils/renderer.py:446-449). Back-face culling treats
+counter-clockwise-in-GL-window-space as front (GL default, enabled at
+reference utils/renderer.py:442).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RasterOutput(NamedTuple):
+    attrs: jnp.ndarray  # (H, W, A) interpolated attributes (bg = 0)
+    depth: jnp.ndarray  # (H, W) NDC depth in [-1, 1]; +inf where empty
+    mask: jnp.ndarray   # (H, W) bool coverage
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "window", "cull"))
+def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
+              valid_tris: jnp.ndarray,
+              height: int, width: int, window: int = 4,
+              cull: bool = True,
+              bg_value: float = 0.0) -> RasterOutput:
+    """Rasterize a triangle soup.
+
+    Args:
+      clip_verts: (T, 3, 4) clip-space positions (x, y, z, w). For
+        orthographic passes w == 1.
+      attrs: (T, 3, A) per-vertex attributes.
+      valid_tris: (T,) bool (padding from marching cubes is masked here).
+      height, width: output size.
+      window: static K; triangles larger than K x K pixels are partially
+        rasterized (choose K from triangle size: MC voxel meshes ~4,
+        SMPL meshes ~16).
+      cull: drop back faces (GL_CULL_FACE with CCW front).
+    """
+    T = clip_verts.shape[0]
+    A = attrs.shape[-1]
+    K = window
+
+    w = clip_verts[..., 3]
+    w_ok = jnp.all(w > 1e-8, axis=-1) & valid_tris
+    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1.0, w)
+    ndc = clip_verts[..., :3] / w_safe[..., None]       # (T, 3, 3)
+
+    # Pixel space: col = (x+1)/2*W - 0.5, row = (1-y)/2*H - 0.5
+    px = (ndc[..., 0] + 1.0) * (0.5 * width) - 0.5      # (T, 3)
+    py = (1.0 - ndc[..., 1]) * (0.5 * height) - 0.5
+    pz = ndc[..., 2]
+
+    # Signed area in pixel space (y down): CCW-in-GL-window -> negative here.
+    ax, ay = px[:, 0], py[:, 0]
+    bx, by = px[:, 1], py[:, 1]
+    cx, cy = px[:, 2], py[:, 2]
+    area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    front = area2 < 0.0 if cull else jnp.abs(area2) > 0.0
+    tri_ok = w_ok & front & (jnp.abs(area2) > 1e-12)
+
+    # Candidate pixel window anchored at ceil(bbox min).
+    min_x = jnp.ceil(jnp.min(px, axis=-1)).astype(jnp.int32)
+    min_y = jnp.ceil(jnp.min(py, axis=-1)).astype(jnp.int32)
+
+    dyx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                                 indexing="ij"), axis=-1).reshape(-1, 2)
+    cand_y = min_y[:, None] + dyx[None, :, 0]           # (T, K*K)
+    cand_x = min_x[:, None] + dyx[None, :, 1]
+    in_img = ((cand_x >= 0) & (cand_x < width) &
+              (cand_y >= 0) & (cand_y < height))
+
+    fx = cand_x.astype(px.dtype)
+    fy = cand_y.astype(py.dtype)
+
+    # Edge functions -> barycentrics (sign-normalized by area).
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) < 1e-12, 1.0, area2)
+    w0 = ((cx - bx)[:, None] * (fy - by[:, None])
+          - (cy - by)[:, None] * (fx - bx[:, None])) * inv_area[:, None]
+    w1 = ((ax - cx)[:, None] * (fy - cy[:, None])
+          - (ay - cy)[:, None] * (fx - cx[:, None])) * inv_area[:, None]
+    w2 = 1.0 - w0 - w1
+    eps = -1e-6
+    covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+
+    valid = covered & in_img & tri_ok[:, None]          # (T, K*K)
+
+    # Depth: linear-in-screen-space NDC z (GL window depth).
+    z = w0 * pz[:, 0:1] + w1 * pz[:, 1:2] + w2 * pz[:, 2:3]
+    valid &= (z >= -1.0) & (z <= 1.0)
+
+    pix = jnp.where(valid, cand_y * width + cand_x, height * width)
+    pix = pix.reshape(-1)
+    zf = jnp.where(valid, z, jnp.inf).reshape(-1)
+
+    npix = height * width
+    # Pass 1: min depth per pixel (+1 sentinel slot for invalid writes).
+    zbuf = jnp.full((npix + 1,), jnp.inf, z.dtype).at[pix].min(zf)
+    # Pass 2: min candidate id among exact depth winners.
+    cand_ids = jnp.arange(T * K * K, dtype=jnp.int32)
+    is_winner = (zf == zbuf[pix]) & (zf < jnp.inf)
+    win_ids = jnp.where(is_winner, cand_ids, jnp.iinfo(jnp.int32).max)
+    winner = jnp.full((npix + 1,), jnp.iinfo(jnp.int32).max,
+                      jnp.int32).at[pix].min(win_ids)
+
+    mask = (winner[:npix] != jnp.iinfo(jnp.int32).max)
+    safe_winner = jnp.where(mask, winner[:npix], 0)
+    tri_of = safe_winner // (K * K)
+
+    # Perspective-correct attribute interpolation at winners.
+    w0w = w0.reshape(-1)[safe_winner]
+    w1w = w1.reshape(-1)[safe_winner]
+    w2w = 1.0 - w0w - w1w
+    iw = 1.0 / w_safe                                   # (T, 3)
+    iw_t = iw[tri_of]                                   # (P, 3)
+    bw = jnp.stack([w0w * iw_t[:, 0], w1w * iw_t[:, 1],
+                    w2w * iw_t[:, 2]], axis=-1)         # (P, 3)
+    denom = jnp.sum(bw, axis=-1, keepdims=True)
+    bw = bw / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    at = attrs[tri_of]                                  # (P, 3, A)
+    out_attr = jnp.sum(at * bw[..., None], axis=1)      # (P, A)
+    out_attr = jnp.where(mask[:, None], out_attr, bg_value)
+
+    return RasterOutput(
+        attrs=out_attr.reshape(height, width, A),
+        depth=jnp.where(mask, zbuf[:npix], jnp.inf).reshape(height, width),
+        mask=mask.reshape(height, width),
+    )
+
+
+def transform_to_clip(vertices: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) world verts x (4, 4) row-major MVP -> (N, 4) clip coords."""
+    vh = jnp.concatenate([vertices, jnp.ones_like(vertices[..., :1])], -1)
+    return jnp.einsum("ij,nj->ni", mvp, vh, precision="highest")
+
+
+def soup_to_tris(vertices: jnp.ndarray, num_tris: jnp.ndarray,
+                 max_tris: int):
+    """Marching-cubes soup (3T, 3) -> ((T,3,3) verts, (T,) valid)."""
+    tris = vertices.reshape(max_tris, 3, 3)
+    valid = jnp.arange(max_tris) < num_tris
+    return tris, valid
+
+
+def indexed_to_soup(vertices: jnp.ndarray, faces: jnp.ndarray):
+    """Indexed mesh -> per-triangle vertex array (F, 3, 3)."""
+    return vertices[faces]

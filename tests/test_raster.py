@@ -1,0 +1,144 @@
+"""Software rasterizer tests: coverage, z-buffering, culling, conventions."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avatarcap_tpu.render.raster import rasterize
+from avatarcap_tpu.render.camera import cano_front_back_mvp
+from avatarcap_tpu.render.visualize import render_cano_mesh
+from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
+from avatarcap_tpu.ops.sobel import sample_volume_normals
+
+
+def _clip(tris):
+    t = jnp.asarray(tris, jnp.float32)
+    return jnp.concatenate([t, jnp.ones_like(t[..., :1])], -1)
+
+
+class TestRasterizeCore:
+    def test_single_triangle_coverage(self):
+        # big CCW-in-GL triangle covering lower-left of NDC
+        tris = np.array([[[-0.9, -0.9, 0.0], [0.9, -0.9, 0.0],
+                          [-0.9, 0.9, 0.0]]], np.float32)
+        out = rasterize(_clip(tris), jnp.ones((1, 3, 1)),
+                        jnp.array([True]), 32, 32, window=64)
+        m = np.asarray(out.mask)
+        assert m.sum() > 300  # roughly half the image
+        # lower-left pixel covered (row 31 is bottom), upper-right not
+        assert m[29, 2] and not m[2, 29]
+
+    def test_backface_culled(self):
+        tris = np.array([[[-0.9, -0.9, 0.0], [-0.9, 0.9, 0.0],
+                          [0.9, -0.9, 0.0]]], np.float32)  # CW winding
+        out = rasterize(_clip(tris), jnp.ones((1, 3, 1)),
+                        jnp.array([True]), 32, 32, window=64)
+        assert np.asarray(out.mask).sum() == 0
+        out2 = rasterize(_clip(tris), jnp.ones((1, 3, 1)),
+                         jnp.array([True]), 32, 32, window=64, cull=False)
+        assert np.asarray(out2.mask).sum() > 300
+
+    def test_depth_ordering(self):
+        # two overlapping triangles; nearer (smaller ndc z) must win
+        t_far = [[-0.9, -0.9, 0.5], [0.9, -0.9, 0.5], [-0.9, 0.9, 0.5]]
+        t_near = [[-0.9, -0.9, -0.5], [0.9, -0.9, -0.5], [-0.9, 0.9, -0.5]]
+        tris = np.array([t_far, t_near], np.float32)
+        attrs = np.array([[[1.0]] * 3, [[2.0]] * 3], np.float32)
+        out = rasterize(_clip(tris), jnp.asarray(attrs),
+                        jnp.array([True, True]), 32, 32, window=64)
+        vals = np.asarray(out.attrs)[np.asarray(out.mask)][:, 0]
+        np.testing.assert_allclose(vals, 2.0, atol=1e-5)
+        # and the same result regardless of submission order
+        out2 = rasterize(_clip(tris[::-1]), jnp.asarray(attrs[::-1]),
+                         jnp.array([True, True]), 32, 32, window=64)
+        np.testing.assert_array_equal(np.asarray(out.attrs),
+                                      np.asarray(out2.attrs))
+
+    def test_invalid_tris_skipped(self):
+        tris = np.array([[[-0.9, -0.9, 0.0], [0.9, -0.9, 0.0],
+                          [-0.9, 0.9, 0.0]]], np.float32)
+        out = rasterize(_clip(tris), jnp.ones((1, 3, 1)),
+                        jnp.array([False]), 32, 32, window=64)
+        assert np.asarray(out.mask).sum() == 0
+
+    def test_attribute_interpolation(self):
+        # attribute = x coordinate; should reproduce pixel x in NDC
+        tris = np.array([[[-1.0, -1.0, 0.0], [3.0, -1.0, 0.0],
+                          [-1.0, 3.0, 0.0]]], np.float32)
+        attrs = tris[..., :1].copy()
+        out = rasterize(_clip(tris), jnp.asarray(attrs),
+                        jnp.array([True]), 16, 16, window=64)
+        m = np.asarray(out.mask)
+        a = np.asarray(out.attrs)[..., 0]
+        cols = (np.arange(16) + 0.5) / 16 * 2 - 1
+        for r in range(16):
+            got = a[r][m[r]]
+            np.testing.assert_allclose(got, cols[m[r]], atol=1e-5)
+
+
+class TestCanoRender:
+    def _sphere_mesh(self, res=48, radius=0.6):
+        lin = np.linspace(-1, 1, res, dtype=np.float32)
+        x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+        sdf = radius - np.sqrt(x * x + y * y + z * z)
+        bounds = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+        voxel = (bounds[1] - bounds[0]) / res
+        mesh = marching_tets(jnp.asarray(sdf), 0.0, jnp.asarray(bounds[0]),
+                             jnp.asarray(voxel), max_tris=1 << 17,
+                             max_active=1 << 15)
+        n = int(mesh.num_tris)
+        tris = mesh.vertices.reshape(-1, 3, 3)
+        grid = mesh_grid_coords(mesh.vertices, jnp.asarray(bounds))
+        normals = sample_volume_normals(jnp.asarray(sdf), jnp.asarray(voxel),
+                                        grid).reshape(-1, 3, 3)
+        valid = jnp.arange(tris.shape[0]) < n
+        return tris, normals, valid
+
+    def test_front_back_normal_render(self):
+        tris, normals, valid = self._sphere_mesh()
+        center = np.zeros(3, np.float32)
+        fmvp, fmv, bmvp, bmv = cano_front_back_mvp(center)
+        front, back = render_cano_mesh(
+            tris, normals, valid, jnp.asarray(fmvp), jnp.asarray(fmv),
+            jnp.asarray(bmvp), jnp.asarray(bmv), res=128, window=6)
+        front = np.asarray(front)
+        back = np.asarray(back)
+        # centre of the front image: sphere front = +z-facing normal
+        assert front[64, 64, 2] > 0.9
+        # back pass renders the -z hemisphere; normals still in world space
+        assert back[64, 64, 2] < -0.9
+        # x-normals: left side of front image has -x normals; the back image
+        # is x-flipped so its left side also shows -x (mirror consistency
+        # with reference visualize_util.py:51)
+        fl = front[64, 34, 0]
+        bl = back[64, 34, 0]
+        assert fl < -0.5 and bl < -0.5
+        # background empty
+        assert np.all(front[0, 0] == 0)
+
+    def test_coverage_ratio(self):
+        tris, normals, valid = self._sphere_mesh()
+        center = np.zeros(3, np.float32)
+        fmvp, fmv, bmvp, bmv = cano_front_back_mvp(center)
+        front, _ = render_cano_mesh(
+            tris, normals, valid, jnp.asarray(fmvp), jnp.asarray(fmv),
+            jnp.asarray(bmvp), jnp.asarray(bmv), res=128, window=6)
+        mask = np.linalg.norm(np.asarray(front), axis=-1) > 1e-6
+        # expected disc: pi r^2 / 4 of the 2x2 window
+        expect = np.pi * 0.6 ** 2 / 4.0
+        got = mask.mean()
+        assert abs(got - expect) / expect < 0.05
+
+    def test_phong_render(self):
+        tris, normals, valid = self._sphere_mesh()
+        center = np.zeros(3, np.float32)
+        fmvp, fmv, bmvp, bmv = cano_front_back_mvp(center)
+        front, back = render_cano_mesh(
+            tris, normals, valid, jnp.asarray(fmvp), jnp.asarray(fmv),
+            jnp.asarray(bmvp), jnp.asarray(bmv), res=128, window=6,
+            shading="phong")
+        front = np.asarray(front)
+        # lit centre brighter than grazing edge; white background
+        assert front[64, 64, 0] > 0.8
+        assert np.all(front[0, 0] == 1.0)
+        edge = front[64, 40, 0]
+        assert edge < front[64, 64, 0] + 1e-5
