@@ -24,13 +24,19 @@ def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
     """
     aa = jnp.asarray(aa)
     theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)  # (..., 1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor fallbacks.
+    # Double-where keeps the *gradient* finite at theta == 0 (a bare
+    # where(small, taylor, f(sqrt(theta2))) still differentiates the sqrt
+    # branch at 0 and poisons grads with NaN — the fusion optimizer starts
+    # its rotation grid at exactly zero).
     small = theta2[..., 0] < 1e-8
+    theta2_safe = jnp.where(small[..., None], 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     sin_over = jnp.where(small, 1.0 - theta2[..., 0] / 6.0,
-                         jnp.sin(theta[..., 0]) / theta[..., 0])
-    one_minus_cos_over = jnp.where(small, 0.5 - theta2[..., 0] / 24.0,
-                                   (1.0 - jnp.cos(theta[..., 0])) / theta2[..., 0])
+                         jnp.sin(theta_safe[..., 0]) / theta_safe[..., 0])
+    one_minus_cos_over = jnp.where(
+        small, 0.5 - theta2[..., 0] / 24.0,
+        (1.0 - jnp.cos(theta_safe[..., 0])) / theta2_safe[..., 0])
 
     x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
     zeros = jnp.zeros_like(x)

@@ -1,0 +1,100 @@
+"""Normal fusion + morphology tests (cv2 golden for erode/DT)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from avatarcap_tpu.ops.morphology import erode_3x3, distance_transform_l1
+from avatarcap_tpu.fusion.normal_fusion import (
+    merge_normal_images, merge_normal_images_cover, _resize_bilinear_ac)
+
+
+class TestMorphology:
+    def test_erode_vs_cv2(self, rng):
+        import cv2 as cv
+        mask = (rng.uniform(0, 1, (64, 64)) > 0.3).astype(np.uint8)
+        kernel = cv.getStructuringElement(cv.MORPH_RECT, (3, 3))
+        ref = cv.erode(mask, kernel, iterations=3)
+        got = np.asarray(erode_3x3(jnp.asarray(mask), iterations=3))
+        np.testing.assert_array_equal(got.astype(np.uint8), ref)
+
+    def test_dt_vs_cv2(self, rng):
+        import cv2 as cv
+        mask = (rng.uniform(0, 1, (64, 64)) > 0.7).astype(np.uint8)
+        ref = cv.distanceTransform(mask, cv.DIST_L1, 3)
+        got = np.asarray(distance_transform_l1(jnp.asarray(mask)))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_dt_all_ones_is_big(self):
+        mask = np.ones((8, 8), np.uint8)
+        got = np.asarray(distance_transform_l1(jnp.asarray(mask)))
+        assert got.min() > 100  # no zero pixel anywhere
+
+
+class TestResize:
+    def test_matches_torch_affine_resize(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        img = rng.standard_normal((64, 64, 3)).astype(np.float32)
+        # reference resize_img (normal_fusion.py:83-88)
+        theta = torch.tensor([[1, 0, 0], [0, 1, 0]], dtype=torch.float32)
+        grid = F.affine_grid(theta.unsqueeze(0), torch.Size((1, 1, 512, 512)),
+                             align_corners=True)
+        ref = F.grid_sample(torch.from_numpy(img).permute(2, 0, 1)[None],
+                            grid, "bilinear", "border", True)
+        ref = ref[0].permute(1, 2, 0).numpy()
+        got = np.asarray(_resize_bilinear_ac(jnp.asarray(img), 512, 512))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+class TestMerge:
+    def test_cover(self, rng):
+        src = rng.standard_normal((16, 16, 3)).astype(np.float32)
+        tar = np.zeros((16, 16, 3), np.float32)
+        tar[4:8, 4:8] = [0.0, 0.0, 1.0]
+        out = np.asarray(merge_normal_images_cover(jnp.asarray(src),
+                                                   jnp.asarray(tar)))
+        np.testing.assert_array_equal(out[4:8, 4:8],
+                                      np.tile([0, 0, 1.0], (4, 4, 1)))
+        np.testing.assert_array_equal(out[0, 0], src[0, 0])
+
+    def test_merge_aligns_normals(self, rng):
+        """Avatar normals rotated by a constant small rotation from image
+        normals: fusion should reduce the data discrepancy on the overlap."""
+        from avatarcap_tpu.ops.se3 import axis_angle_to_matrix
+        H = 512
+        # disc masks
+        yy, xx = np.mgrid[0:H, 0:H]
+        disc = ((yy - 256) ** 2 + (xx - 256) ** 2) < 150 ** 2
+        base = np.zeros((H, H, 3), np.float32)
+        base[disc] = [0.0, 0.0, 1.0]
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray([0.0, 0.25, 0.0])))
+        src = base.copy()
+        src[disc] = base[disc] @ R.T  # avatar normals tilted
+        tar = base
+        neck = jnp.asarray([256, 500], jnp.int32)  # face box far below disc? keep inside
+        out = np.asarray(merge_normal_images(jnp.asarray(src),
+                                             jnp.asarray(tar), neck,
+                                             iter_num=40))
+        # interior of the disc (eroded) should be closer to tar than before
+        inner = ((yy - 256) ** 2 + (xx - 256) ** 2) < 100 ** 2
+        err_before = np.linalg.norm(src[inner] - tar[inner], axis=-1).mean()
+        err_after = np.linalg.norm(out[inner] - tar[inner], axis=-1).mean()
+        # 40 iters (vs the reference's 100) + DT blending toward the avatar
+        # normal bound the attainable improvement; require a clear reduction
+        assert err_after < 0.75 * err_before
+        # outside the target mask, original avatar normals are kept
+        outside = ~disc
+        np.testing.assert_allclose(out[outside], src[outside], atol=1e-4)
+
+    def test_face_box_keeps_avatar(self, rng):
+        H = 512
+        src = rng.standard_normal((H, H, 3)).astype(np.float32)
+        tar = rng.standard_normal((H, H, 3)).astype(np.float32)
+        neck = jnp.asarray([256, 300], jnp.int32)
+        out = np.asarray(merge_normal_images(jnp.asarray(src),
+                                             jnp.asarray(tar), neck,
+                                             iter_num=4))
+        # rows [210, 300), cols [221, 291) must equal the ORIGINAL src
+        np.testing.assert_allclose(out[210:300, 221:291], src[210:300, 221:291],
+                                   atol=1e-5)
