@@ -1,0 +1,335 @@
+"""AvatarCap dataset: scan/video indexing and per-item assembly.
+
+Equivalent of the reference dataset (reference dataset/avatarcap_dataset.py)
+with the same on-disk layout (dataConfig.yaml, smpl/pose_*.txt,
+smpl/shape.txt, smpl/smpl_pos_map_*.exr, imgs/..., cano_pts_ov/*.npz) and
+the same per-item contract. Differences, TPU-motivated:
+
+- SMPL FK runs through the JAX model (vmappable); the reference reruns a
+  numpy FK per item on the host (dataset/avatarcap_dataset.py:197).
+- The test-time grid keeps static shapes: valid (near-SMPL) points are
+  marked by a mask over the full grid rather than boolean-compacted.
+- trimesh.contains is replaced by the device ray-parity inside test.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+import cv2 as cv  # noqa: E402
+import numpy as np  # noqa: E402
+import yaml  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from avatarcap_tpu.body.smpl import (  # noqa: E402
+    SmplParams, smpl_forward, canonical_pose)
+from avatarcap_tpu.data.ray_sampling import sample_rays  # noqa: E402
+from avatarcap_tpu.ops.knn import knn  # noqa: E402
+from avatarcap_tpu.ops.inside import points_inside_mesh  # noqa: E402
+from avatarcap_tpu.data.image_io import load_float_image  # noqa: E402
+
+SAMPLED_RAY_NUM = 1024      # reference dataset/avatarcap_dataset.py:239
+SURFACE_PTS_PER_ITEM = 5000  # reference :285
+VOLUME_PTS_PER_ITEM = SURFACE_PTS_PER_ITEM // 16  # reference :286
+
+
+class AvatarCapDataset:
+    def __init__(self, data_dir: str, training: bool,
+                 smpl_params: SmplParams,
+                 vol_res=(384, 384, 128),
+                 training_data_ids=None,
+                 pos_map_builder=None):
+        self.data_dir = data_dir
+        self.training = training
+        self.smpl_params = smpl_params
+
+        with open(os.path.join(data_dir, "dataConfig.yaml"),
+                  encoding="UTF-8") as f:
+            self.data_config = yaml.safe_load(f)
+
+        self.smpl_pose_list = sorted(
+            glob.glob(os.path.join(data_dir, "smpl/pose_*.txt")))
+        self.data_type = self.data_config.get("data_type", "synthetic")
+        if self.data_type == "synthetic":
+            self.color_img_list = sorted(glob.glob(
+                os.path.join(data_dir, "imgs/*/color_view_*.jpg")))
+            self.depth_img_list = sorted(glob.glob(
+                os.path.join(data_dir, "imgs/*/depth_view_*.png")))
+            self.mask_img_list = sorted(glob.glob(
+                os.path.join(data_dir, "imgs/*/mask_view_*.png")))
+        elif self.data_type == "real":
+            self.color_img_list = sorted(glob.glob(
+                os.path.join(data_dir, "imgs/color/color_*.jpg")))
+            self.depth_img_list = []
+            self.mask_img_list = sorted(glob.glob(
+                os.path.join(data_dir, "imgs/mask/mask_*.png")))
+        else:
+            raise ValueError(f"Invalid data type: {self.data_type}")
+
+        self.img_num_per_pose = max(
+            1, len(self.color_img_list) // max(1, len(self.smpl_pose_list)))
+        self.start_data_idx = self._pose_idx(self.smpl_pose_list[0])
+
+        self.smpl_shape = np.loadtxt(
+            os.path.join(data_dir, "smpl/shape.txt")).astype(np.float32)
+
+        # canonical SMPL (reference :61-70)
+        cano = smpl_forward(smpl_params,
+                            jnp.asarray(canonical_pose()),
+                            jnp.asarray(self.smpl_shape))
+        self.cano_smpl_v = np.asarray(cano.vertices)
+        self.cano_smpl_jnts = np.asarray(cano.joints)
+        self.inv_cano_jnt_mats = np.linalg.inv(
+            np.asarray(cano.jnt_affine_mats))
+        self.cano_smpl_center = 0.5 * (self.cano_smpl_v.min(0)
+                                       + self.cano_smpl_v.max(0))
+
+        # pos-map pose transforms (reference :73-87)
+        self.pos_map_name = self.data_config.get("pos_map_name", "cano")
+        self.pos_map_res = self.data_config.get("pos_map_res", 256)
+        J = smpl_params.num_joints
+        if self.pos_map_name == "cano":
+            self.cano2posmap_jnt_mats = np.tile(np.eye(4, dtype=np.float32),
+                                                (J, 1, 1))
+        elif self.pos_map_name == "A":
+            pose = np.zeros(3 + 3 * J, np.float32)
+            pose[3 + 16 * 3 + 2] = -math.radians(60)
+            pose[3 + 17 * 3 + 2] = math.radians(60)
+            amats = np.asarray(smpl_forward(
+                smpl_params, jnp.asarray(pose),
+                jnp.asarray(self.smpl_shape)).jnt_affine_mats)
+            self.cano2posmap_jnt_mats = amats @ self.inv_cano_jnt_mats
+        else:
+            raise ValueError(f"Invalid pos_map_name: {self.pos_map_name}")
+
+        # canonical bounds: pad 5 cm xy / 15 cm z (reference :89-97)
+        min_xyz = self.cano_smpl_v.min(0)
+        max_xyz = self.cano_smpl_v.max(0)
+        min_xyz[:2] -= 0.05
+        max_xyz[:2] += 0.05
+        min_xyz[2] -= 0.15
+        max_xyz[2] += 0.15
+        self.cano_bounds = np.stack([min_xyz, max_xyz]).astype(np.float32)
+
+        cam = self.data_config["camera"]
+        self.K = np.array([[cam["fx"], 0, cam["cx"]],
+                           [0, cam["fy"], cam["cy"]],
+                           [0, 0, 1]], np.float32)
+        self.img_w = cam["img_width"]
+        self.img_h = cam["img_height"]
+
+        if not training:
+            self._init_test_grid(vol_res)
+
+        if training and training_data_ids is not None:
+            ids = set(int(i) for i in np.atleast_1d(training_data_ids))
+            self.smpl_pose_list = [
+                p for p in self.smpl_pose_list if self._pose_idx(p) in ids]
+
+            def img_in(path):
+                return int(os.path.basename(
+                    os.path.dirname(path))) in ids
+            self.color_img_list = list(filter(img_in, self.color_img_list))
+            self.depth_img_list = list(filter(img_in, self.depth_img_list))
+            self.mask_img_list = list(filter(img_in, self.mask_img_list))
+
+        if training:
+            self._preload_training_data()
+
+    # -- helpers ---------------------------------------------------------
+
+    @staticmethod
+    def _pose_idx(pose_path: str) -> int:
+        name = os.path.splitext(os.path.basename(pose_path))[0]
+        return int(name.replace("pose_", ""))
+
+    def _init_test_grid(self, vol_res):
+        """Full static grid + near-SMPL validity mask + inside prior for
+        invalid points (reference :109-125, static-shape version)."""
+        self.vol_res = tuple(vol_res)
+        lin = [np.linspace(0, 1, r, dtype=np.float32) for r in vol_res]
+        g = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1).reshape(-1, 3)
+        pts = g * (self.cano_bounds[1] - self.cano_bounds[0]) \
+            + self.cano_bounds[0]
+        d2, _ = knn(jnp.asarray(pts), jnp.asarray(self.cano_smpl_v), k=1)
+        self.infer_pts_flag = np.asarray(d2[:, 0] < 0.1 ** 2)
+        self.infer_pts = pts  # full grid, masked downstream
+
+        tris = self.cano_smpl_v[self.smpl_params.faces]
+        inside = np.asarray(points_inside_mesh(jnp.asarray(pts),
+                                               jnp.asarray(tris)))
+        # occupancy in [-1, 1] (reference :124): +1 inside, -1 outside
+        self.invalid_pts_ov = (2.0 * inside.astype(np.float32) - 1.0)
+
+        # Static compacted layout for the capture pipeline: valid (near-SMPL)
+        # points padded to a fixed size, plus their flat-grid indices and the
+        # SMPL-prior volume used for everything else.
+        idx = np.where(self.infer_pts_flag)[0].astype(np.int32)
+        pad = (-len(idx)) % 65536
+        self.valid_pts_idx = np.pad(idx, (0, pad),
+                                    constant_values=len(pts))  # OOB -> drop
+        self.valid_pts = np.concatenate(
+            [pts[idx], np.zeros((pad, 3), np.float32)])
+        self.num_valid_pts = len(idx)
+        # base volume: invalid prior everywhere (valid entries overwritten)
+        self.prior_volume = np.where(self.infer_pts_flag, 0.0,
+                                     self.invalid_pts_ov).astype(np.float32)
+
+    def _load_pos_map(self, data_idx: int) -> np.ndarray:
+        """EXR pos map -> (H, W, 6) front/back stack (reference :159-162).
+        Returned channels-last (NHWC-ready)."""
+        path = os.path.join(
+            self.data_dir,
+            f"smpl/smpl_pos_map_{data_idx:04d}_{self.pos_map_name}.exr")
+        try:
+            m = load_float_image(path)
+        except FileNotFoundError:
+            m = load_float_image(os.path.join(
+                self.data_dir, f"smpl/smpl_pos_map_{data_idx:04d}.exr"))
+        r = self.pos_map_res
+        m = cv.resize(m, (2 * r, r), interpolation=cv.INTER_NEAREST)
+        return np.concatenate([m[:, :r, :], m[:, r:, :]],
+                              axis=-1).astype(np.float32)
+
+    def _preload_training_data(self):
+        self.pos_maps = []
+        self.presampled_data = []
+        self.data_indices = []
+        for pose_file in self.smpl_pose_list:
+            idx = self._pose_idx(pose_file)
+            self.pos_maps.append(self._load_pos_map(idx))
+            data = np.load(os.path.join(self.data_dir,
+                                        f"cano_pts_ov/{idx:03d}.npz"))
+            self.presampled_data.append({k: data[k].copy() for k in data})
+            self.data_indices.append(idx)
+
+    def __len__(self):
+        return len(self.smpl_pose_list) * self.img_num_per_pose
+
+    # -- item assembly ----------------------------------------------------
+
+    def __getitem__(self, index: int, rng: np.random.RandomState = None):
+        if rng is None:
+            rng = np.random
+        pose_idx = index // self.img_num_per_pose
+        view_idx = index % self.img_num_per_pose
+        data_idx = self._pose_idx(self.smpl_pose_list[pose_idx])
+
+        # live SMPL (hands zeroed, reference :194-198) — device FK
+        live_pose = np.loadtxt(
+            self.smpl_pose_list[pose_idx]).astype(np.float32)
+        live_pose[3 + 22 * 3: 6 + 22 * 3] = 0.0
+        live_pose[3 + 23 * 3: 6 + 23 * 3] = 0.0
+        live = smpl_forward(self.smpl_params, jnp.asarray(live_pose),
+                            jnp.asarray(self.smpl_shape))
+        live_v = np.asarray(live.vertices)
+        cano2live = np.asarray(live.jnt_affine_mats) @ self.inv_cano_jnt_mats
+        live_bounds = np.stack([live_v.min(0) - 0.05,
+                                live_v.max(0) + 0.05]).astype(np.float32)
+
+        if self.training:
+            smpl_pos_map = self.pos_maps[pose_idx].copy()
+        else:
+            smpl_pos_map = self._load_pos_map(data_idx)
+
+        # image + mask (reference :216-225)
+        if self.training:
+            color = cv.imread(self.color_img_list[index],
+                              cv.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+            if not self.mask_img_list:
+                mask = (np.linalg.norm(color, axis=-1) > 0).astype(np.uint8)
+            else:
+                mask = cv.imread(self.mask_img_list[index],
+                                 cv.IMREAD_UNCHANGED)
+        else:
+            color = np.ones((self.img_h, self.img_w, 3), np.float32)
+            mask = np.ones((self.img_h, self.img_w), np.uint8)
+
+        # camera extrinsics (reference :227-237)
+        cam_path = os.path.join(self.data_dir, f"imgs/{data_idx:03d}/cams.mat")
+        w2c_RT = np.identity(4, np.float32)
+        if os.path.exists(cam_path):
+            import scipy.io as sio
+            cam_data = sio.loadmat(cam_path)
+            aa = np.float32(cam_data["cam_rs"][view_idx])
+            from avatarcap_tpu.ops.se3 import axis_angle_to_matrix
+            w2c_RT[:3, :3] = np.asarray(
+                axis_angle_to_matrix(jnp.asarray(aa.reshape(3))))
+            w2c_RT[:3, 3] = np.float32(cam_data["cam_ts"][view_idx]).ravel()
+
+        rays = sample_rays(color, mask, self.K, w2c_RT[:3, :3],
+                           w2c_RT[:3, 3:], live_bounds, SAMPLED_RAY_NUM,
+                           self.training, rng=rng)
+        coord = rays["coord"]
+        occupancy = mask[coord[:, 0], coord[:, 1]]
+        if self.training and self.data_type == "synthetic" \
+                and self.depth_img_list:
+            depth_img = cv.imread(self.depth_img_list[index],
+                                  cv.IMREAD_UNCHANGED)
+            z = depth_img[coord[:, 0], coord[:, 1]] / 1000.0
+            x = (coord[:, 1] + 0.5 - self.K[0, 2]) * z / self.K[0, 0]
+            y = (coord[:, 0] + 0.5 - self.K[1, 2]) * z / self.K[1, 1]
+            depth = np.sqrt(x * x + y * y + z * z).astype(np.float32)
+        else:
+            depth = np.zeros(occupancy.shape, np.float32)
+
+        item = {
+            "data_idx": data_idx,
+            "view_idx": view_idx,
+            "smpl_pose": live_pose,
+            "smpl_pos_map": smpl_pos_map,                 # (H, W, 6) HWC
+            "cano2live_jnt_mats": cano2live.astype(np.float32),
+            "cano2posmap_jnt_mats": self.cano2posmap_jnt_mats,
+            "cano_bounds": self.cano_bounds,
+            "cano_smpl_center": self.cano_smpl_center.astype(np.float32),
+            "cano_smpl_jnts": self.cano_smpl_jnts,
+            "live_smpl_v": live_v.astype(np.float32),
+            "rgb": rays["rgb"],
+            "depth": depth,
+            "body_mask": rays["body_mask"],
+            "occupancy": occupancy.astype(np.float32),
+            "ray_o": rays["ray_o"],
+            "ray_d": rays["ray_d"],
+            "near": rays["near"],
+            "far": rays["far"],
+            "w2c_RT": w2c_RT,
+        }
+
+        if self.training:
+            pre = self.presampled_data[pose_idx]
+            # clamp to the presampled population (tiny synthetic subjects)
+            n_sur = min(SURFACE_PTS_PER_ITEM, pre["sur_pts"].shape[0])
+            n_vol = min(VOLUME_PTS_PER_ITEM, pre["vol_pts"].shape[0])
+            sid = rng.choice(pre["sur_pts"].shape[0], n_sur, replace=False)
+            vid = rng.choice(pre["vol_pts"].shape[0], n_vol, replace=False)
+            item["cano_pts"] = np.concatenate(
+                [pre["sur_pts"][sid], pre["vol_pts"][vid]]).astype(np.float32)
+            item["cano_pts_ov"] = np.concatenate(
+                [pre["sur_pts_ov"][sid],
+                 pre["vol_pts_ov"][vid]]).astype(np.float32)
+        else:
+            item["cano_pts"] = self.infer_pts
+            item["valid_pts_flag"] = self.infer_pts_flag
+
+        return item
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                seed: int = 31359, drop_last: bool = True):
+        """Simple epoch iterator yielding stacked numpy batches
+        (torch DataLoader equivalent, reference :349-359)."""
+        rng = np.random.RandomState(seed)
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n = len(order) // batch_size if drop_last else \
+            -(-len(order) // batch_size)
+        for b in range(n):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            items = [self.__getitem__(int(i), rng) for i in idxs]
+            yield {k: np.stack([it[k] for it in items])
+                   for k in items[0]}

@@ -1,0 +1,306 @@
+"""Full AvatarCap capture pipeline (reference main.py:275-504).
+
+Per frame, stages 1-4 of run_avatarcap, all device-side:
+
+1. avatar geometry: occupancy over the compacted near-SMPL grid points ->
+   scatter into the SMPL-prior volume -> marching tets -> Sobel normals ->
+   canonical normal/phong renders -> LBS skinning to live space.
+2. canonical normal fusion: image normals lifted to the canonical mesh +
+   optimization-based merge with avatar normals.
+3. ReconNet: hourglass features of the fused front/back normal maps ->
+   pixel-aligned occupancy -> second marching tets -> skin to live.
+4. optional texture: NeRF vertex colors integrated along -normal rays in
+   canonical space, transferred to the recon mesh by nearest neighbor.
+
+The reference crosses GPU<->CPU>=6x per frame (skimage MC, GL renders,
+normal EXR, torch chunk loops, SURVEY §3.2); here every stage is jitted
+and only final images/meshes leave the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatarcap_tpu.models.avatar import GeoTexAvatar
+from avatarcap_tpu.models.recon import ReconNetwork
+from avatarcap_tpu.pipeline.avatar import (
+    AvatarStatics, FrameInputs, compute_pose_features, query_occupancy,
+    render_rays)
+from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
+from avatarcap_tpu.ops.sobel import sample_volume_normals
+from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
+from avatarcap_tpu.body.skinning import skin_points, skin_normals, \
+    blend_joint_mats
+from avatarcap_tpu.render.camera import (
+    cano_front_back_mvp, gl_perspective_projection_matrix, calc_front_mv,
+    calc_back_mv, real2gl_matrix)
+from avatarcap_tpu.render.visualize import render_cano_mesh, \
+    render_live_mesh
+from avatarcap_tpu.fusion.normal_fusion import (
+    canonicalize_normal_map, merge_normal_images, merge_normal_images_cover)
+
+
+class CaptureGrid(NamedTuple):
+    """Static per-subject canonical query grid (from the dataset)."""
+
+    valid_pts: jnp.ndarray     # (Nv_pad, 3) compacted near-SMPL points
+    valid_idx: jnp.ndarray     # (Nv_pad,) flat grid indices (OOB = dropped)
+    prior_volume: jnp.ndarray  # (X*Y*Z,) SMPL-prior occupancy elsewhere
+    vol_res: tuple             # static (X, Y, Z)
+
+
+class CaptureMesh(NamedTuple):
+    vertices: jnp.ndarray      # (3*max_tris, 3) triangle soup
+    normals: jnp.ndarray       # (3*max_tris, 3)
+    num_tris: jnp.ndarray      # ()
+    valid: jnp.ndarray         # (max_tris,) bool
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptureOptions:
+    iso_value: float = 0.0          # 0 sdf / 0.5 occupancy
+    max_tris: int = 1 << 20
+    max_active: int = 1 << 18
+    render_res: int = 512
+    raster_window: int = 4
+    fusion_iters: int = 100
+    integrate_manner: str = "merge"  # 'merge' | 'cover'
+    n_samples: int = 64              # nerf color samples
+
+
+def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
+                  max_active):
+    """Volume -> mesh + Sobel normals (reference main.py:357-375)."""
+    X, Y, Z = grid.vol_res
+    vol = volume_flat.reshape(X, Y, Z)
+    voxel = (bounds[1] - bounds[0]) / jnp.asarray([X, Y, Z], bounds.dtype)
+    mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
+                         max_active=max_active)
+    grid_coords = mesh_grid_coords(mesh.vertices, bounds)
+    normals = sample_volume_normals(vol, voxel, grid_coords)
+    valid = jnp.arange(max_tris) < mesh.num_tris
+    return CaptureMesh(mesh.vertices, normals, mesh.num_tris, valid)
+
+
+class AvatarCapture:
+    """Host orchestrator over jitted per-stage device functions.
+
+    Args mirror the reference's test-time setup (reference main.py:296-331):
+    a geometry avatar, an optionally texture-finetuned avatar for color,
+    and a ReconNet, plus per-subject statics and the query grid.
+    """
+
+    def __init__(self, avatar: GeoTexAvatar, avatar_vars,
+                 statics: AvatarStatics, grid: CaptureGrid,
+                 recon: Optional[ReconNetwork] = None, recon_vars=None,
+                 avatar_tex_vars=None,
+                 options: CaptureOptions = CaptureOptions()):
+        self.avatar = avatar
+        self.avatar_vars = avatar_vars
+        self.avatar_tex_vars = avatar_tex_vars or avatar_vars
+        self.statics = statics
+        self.grid = grid
+        self.recon = recon
+        self.recon_vars = recon_vars
+        self.opt = options
+
+        center = np.asarray(statics.cano_smpl_center)
+        (self._fmvp, self._fmv, self._bmvp, self._bmv) = \
+            cano_front_back_mvp(center)
+
+        o = self.opt
+
+        @jax.jit
+        def avatar_geometry_stage(avatar_vars, frame: FrameInputs):
+            feat, _ = compute_pose_features(self.avatar, avatar_vars,
+                                            frame.smpl_pos_map)
+            out, _ = query_occupancy(self.avatar, avatar_vars,
+                                     self.grid.valid_pts[None], feat,
+                                     self.statics)
+            vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
+                out["cano_pts_ov"][0, :, 0], mode="drop")
+            mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
+                                 o.iso_value, o.max_tris, o.max_active)
+            return mesh, feat
+
+        @functools.partial(jax.jit, static_argnames=("shading",))
+        def cano_render_stage(mesh: CaptureMesh, shading="attribute"):
+            tris = mesh.vertices.reshape(-1, 3, 3)
+            attr = mesh.normals.reshape(-1, 3, 3)
+            return render_cano_mesh(
+                tris, attr, mesh.valid, jnp.asarray(self._fmvp),
+                jnp.asarray(self._fmv), jnp.asarray(self._bmvp),
+                jnp.asarray(self._bmv), res=o.render_res,
+                window=o.raster_window, shading=shading)
+
+        @jax.jit
+        def skinning_stage(mesh: CaptureMesh, cano2live):
+            """Avatar mesh -> live space (reference main.py:383-394)."""
+            lbs = approx_lbs_weights(mesh.vertices,
+                                     self.statics.cano_smpl_vertices,
+                                     self.statics.smpl_skinning_weights)
+            live_v, pt_mats = skin_points(mesh.vertices, lbs, cano2live,
+                                          return_pt_mats=True)
+            live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
+                                mesh.normals, precision="highest")
+            return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid), \
+                pt_mats
+
+        @jax.jit
+        def recon_stage(recon_vars, front_normal, back_normal):
+            """Fused normals -> occupancy volume -> mesh
+            (reference main.py:435-445)."""
+            img = jnp.concatenate([front_normal, back_normal],
+                                  axis=-1)[None]          # (1, H, W, 6)
+            feat_map = self.recon.apply(recon_vars, img,
+                                        method=ReconNetwork.get_feat_maps)
+            ov = self.recon.apply(
+                recon_vars, feat_map, self.grid.valid_pts[None],
+                self.statics.cano_smpl_center[None],
+                method=ReconNetwork.decode_points)[0]
+            # recon occupancy iso is 0.5; prior volume is in [-1, 1] ->
+            # rescale prior to [0, 1] for a consistent surface crossing
+            prior01 = 0.5 * (self.grid.prior_volume + 1.0)
+            vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
+            return _extract_mesh(vol, self.grid, self.statics.cano_bounds,
+                                 0.5, o.max_tris, o.max_active)
+
+        @jax.jit
+        def nerf_color_stage(tex_vars, feat, frame: FrameInputs,
+                             cano_mesh: CaptureMesh):
+            """Vertex colors by integrating along -normal rays in cano
+            space (reference main.py:464-478)."""
+            v = cano_mesh.vertices[None]
+            n = cano_mesh.normals[None]
+            depth = jnp.ones(v.shape[:2], v.dtype)
+            out, _ = render_rays(
+                self.avatar, tex_vars, v + n, -n, depth - 0.05, depth + 0.05,
+                depth, feat, frame, self.statics, n_samples=o.n_samples,
+                pts_space="cano", near_dist=0.02, far_dist=0.05)
+            return out["rgb_map"][0]
+
+        @jax.jit
+        def color_transfer_stage(recon_verts, avatar_verts, avatar_colors):
+            """NN color transfer (reference main.py:480-485)."""
+            _, idx = knn(recon_verts, avatar_verts, k=1)
+            return avatar_colors[idx[:, 0]]
+
+        self._avatar_geometry = avatar_geometry_stage
+        self._cano_render = cano_render_stage
+        self._skinning = skinning_stage
+        self._recon_stage = recon_stage
+        self._nerf_color = nerf_color_stage
+        self._color_transfer = color_transfer_stage
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, item: Dict[str, Any], w_recon: bool = True,
+                      w_nerf: bool = False,
+                      inferred_normal: Optional[np.ndarray] = None,
+                      neck_vertex_idx: Optional[int] = None,
+                      camera: Optional[Dict[str, float]] = None
+                      ) -> Dict[str, Any]:
+        """Run the capture stages for one dataset item (test mode).
+
+        Returns a dict with canonical/live avatar meshes, renders, fused
+        normals, and (if w_recon) the final reconstructed live mesh.
+        """
+        o = self.opt
+        frame = FrameInputs(
+            live_smpl_v=jnp.asarray(item["live_smpl_v"])[None],
+            cano2live_jnt_mats=jnp.asarray(item["cano2live_jnt_mats"])[None],
+            smpl_pos_map=jnp.asarray(item["smpl_pos_map"])[None])
+
+        # Stage 1: avatar geometry
+        cano_mesh, feat = self._avatar_geometry(self.avatar_vars, frame)
+        front_avatar_n, back_avatar_n = self._cano_render(cano_mesh)
+        cano_phong = self._cano_render(cano_mesh, shading="phong")
+        live_mesh, pt_mats = self._skinning(
+            cano_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+
+        results = {
+            "cano_mesh": cano_mesh,
+            "live_mesh": live_mesh,
+            "cano_phong": cano_phong,
+            "front_avatar_normal": front_avatar_n,
+            "back_avatar_normal": back_avatar_n,
+        }
+
+        if w_recon:
+            assert self.recon is not None and inferred_normal is not None
+            img_h, img_w = inferred_normal.shape[:2]
+            cam = camera
+            fx, fy, cx, cy = (cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+            proj = gl_perspective_projection_matrix(fx, fy, cx, cy,
+                                                    img_w, img_h,
+                                                    gl_space=False)
+            # Stage 2: normal fusion
+            front_img_n, back_img_n = canonicalize_normal_map(
+                cano_mesh.vertices.reshape(-1, 3, 3),
+                live_mesh.vertices.reshape(-1, 3, 3),
+                cano_mesh.valid, jnp.asarray(inferred_normal),
+                pt_mats.reshape(-1, 3, 4, 4),
+                jnp.asarray(item["w2c_RT"]), jnp.asarray(proj),
+                jnp.asarray(self._fmvp), jnp.asarray(self._fmv),
+                jnp.asarray(self._bmvp), jnp.asarray(self._bmv),
+                fx, fy, cx, cy, img_h, img_w, res=o.render_res,
+                window=o.raster_window)
+
+            if o.integrate_manner == "merge":
+                # neck position on the canonical image (reference :420-422)
+                neck_v = np.asarray(
+                    self.statics.cano_smpl_vertices[neck_vertex_idx]) \
+                    - np.asarray(self.statics.cano_smpl_center)
+                neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
+                neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
+                    % o.render_res
+                front_merged = merge_normal_images(
+                    front_avatar_n, front_img_n,
+                    jnp.asarray([neck_x, neck_y], jnp.int32),
+                    iter_num=o.fusion_iters)
+            else:
+                front_merged = merge_normal_images_cover(front_avatar_n,
+                                                         front_img_n)
+            back_merged = back_avatar_n  # reference main.py:430
+
+            # Stage 3: ReconNet
+            recon_mesh = self._recon_stage(self.recon_vars, front_merged,
+                                           back_merged)
+            live_recon, _ = self._skinning(
+                recon_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+            results.update({
+                "front_merged_normal": front_merged,
+                "front_image_normal": front_img_n,
+                "recon_mesh": recon_mesh,
+                "live_recon_mesh": live_recon,
+            })
+
+        if w_nerf:
+            colors = self._nerf_color(self.avatar_tex_vars, feat, frame,
+                                      cano_mesh)
+            results["avatar_colors"] = colors[..., ::-1]  # bgr->rgb (ref :477)
+            if w_recon:
+                results["recon_colors"] = self._color_transfer(
+                    results["recon_mesh"].vertices, cano_mesh.vertices,
+                    results["avatar_colors"])
+
+        return results
+
+    def render_live(self, live_mesh: CaptureMesh, front_mv, back_mv,
+                    colors=None):
+        """Perspective phong preview (reference main.py:397-403)."""
+        proj = gl_perspective_projection_matrix(5000, 5000, 256, 256,
+                                                512, 512, gl_space=True)
+        color_tris = None if colors is None else colors.reshape(-1, 3, 3)
+        return render_live_mesh(
+            live_mesh.vertices.reshape(-1, 3, 3),
+            live_mesh.normals.reshape(-1, 3, 3), live_mesh.valid,
+            front_mv, back_mv, proj, real2gl_matrix(),
+            res=self.opt.render_res, window=self.opt.raster_window,
+            color_tris=color_tris)

@@ -1,0 +1,131 @@
+"""Capture pipeline smoke test: all 4 stages on the toy subject."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_toy_smpl_params
+
+
+@pytest.fixture(scope="module")
+def capture_env():
+    from avatarcap_tpu.body.smpl import smpl_forward, canonical_pose
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.models.recon import ReconNetwork
+    from avatarcap_tpu.pipeline.avatar import AvatarStatics
+    from avatarcap_tpu.pipeline.capture import (
+        AvatarCapture, CaptureGrid, CaptureOptions)
+    from avatarcap_tpu.ops.knn import knn
+    from avatarcap_tpu.ops.inside import points_inside_mesh
+
+    params = make_toy_smpl_params()
+    shape = np.zeros(10, np.float32)
+    cano = smpl_forward(params, jnp.asarray(canonical_pose()),
+                        jnp.asarray(shape))
+    v = np.asarray(cano.vertices)
+    lo = v.min(0) - np.array([0.05, 0.05, 0.15], np.float32)
+    hi = v.max(0) + np.array([0.05, 0.05, 0.15], np.float32)
+    bounds = np.stack([lo, hi])
+    wv = np.zeros((16, 16, 16, params.num_joints), np.float32)
+    wv[..., 0] = 1.0
+    statics = AvatarStatics(
+        weight_volume=jnp.asarray(wv),
+        cano_smpl_vertices=cano.vertices,
+        smpl_skinning_weights=jnp.asarray(params.weights),
+        cano_bounds=jnp.asarray(bounds),
+        cano_smpl_center=jnp.asarray(0.5 * (lo + hi)))
+
+    # test grid (small): valid = near body, prior = inside sign
+    vol_res = (48, 48, 32)
+    lin = [np.linspace(0, 1, r, dtype=np.float32) for r in vol_res]
+    g = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+    pts = g * (hi - lo) + lo
+    d2, _ = knn(jnp.asarray(pts), cano.vertices, k=1)
+    valid_flag = np.asarray(d2[:, 0] < 0.1 ** 2)
+    tris = v[params.faces]
+    inside = np.asarray(points_inside_mesh(jnp.asarray(pts),
+                                           jnp.asarray(tris)))
+    prior = np.where(valid_flag, 0.0,
+                     2.0 * inside.astype(np.float32) - 1.0)
+    idx = np.where(valid_flag)[0].astype(np.int32)
+    pad = (-len(idx)) % 4096
+    valid_idx = np.pad(idx, (0, pad), constant_values=len(pts))
+    valid_pts = np.concatenate([pts[idx], np.zeros((pad, 3), np.float32)])
+
+    grid = CaptureGrid(jnp.asarray(valid_pts), jnp.asarray(valid_idx),
+                       jnp.asarray(prior.astype(np.float32)), vol_res)
+
+    module = GeoTexAvatar(if_type="sdf")
+    pos_map = jnp.zeros((1, 128, 128, 6))
+    avatar_vars = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), pos_map,
+        statics.cano_smpl_center[None])
+
+    recon = ReconNetwork()
+    recon_vars = jax.jit(recon.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 6)),
+        jnp.zeros((1, 8, 3)), jnp.zeros((1, 3)))
+
+    options = CaptureOptions(max_tris=1 << 15, max_active=1 << 13,
+                             render_res=128, raster_window=6,
+                             fusion_iters=4, n_samples=4)
+    capture = AvatarCapture(module, avatar_vars, statics, grid,
+                            recon=recon, recon_vars=recon_vars,
+                            options=options)
+
+    item = {
+        "live_smpl_v": v.astype(np.float32),
+        "cano2live_jnt_mats": np.tile(np.eye(4, dtype=np.float32),
+                                      (params.num_joints, 1, 1)),
+        "smpl_pos_map": np.zeros((128, 128, 6), np.float32),
+        "w2c_RT": np.eye(4, dtype=np.float32)
+        @ np.diag([1, 1, 1, 1.0]).astype(np.float32),
+    }
+    # camera in front of the body looking +z (real-camera convention)
+    item["w2c_RT"][2, 3] = 2.0
+    cam = {"fx": 200.0, "fy": 200.0, "cx": 64.0, "cy": 64.0}
+    return capture, item, cam
+
+
+class TestCapture:
+    def test_avatar_only(self, capture_env):
+        capture, item, cam = capture_env
+        res = capture.process_frame(item, w_recon=False, w_nerf=False)
+        assert int(res["cano_mesh"].num_tris) > 100
+        front, back = res["cano_phong"]
+        assert np.asarray(front).shape == (128, 128, 3)
+        # live == cano here (identity pose): meshes coincide
+        n = 3 * int(res["cano_mesh"].num_tris)
+        np.testing.assert_allclose(
+            np.asarray(res["live_mesh"].vertices[:n]),
+            np.asarray(res["cano_mesh"].vertices[:n]), atol=1e-4)
+
+    def test_full_recon_and_nerf(self, capture_env):
+        capture, item, cam = capture_env
+        normal_img = np.zeros((128, 128, 3), np.float32)
+        normal_img[32:96, 32:96] = [0.0, 0.0, -1.0]  # facing camera
+        res = capture.process_frame(item, w_recon=True, w_nerf=True,
+                                    inferred_normal=normal_img,
+                                    neck_vertex_idx=0, camera=cam)
+        assert "recon_mesh" in res and "live_recon_mesh" in res
+        assert int(res["recon_mesh"].num_tris) > 0
+        assert np.isfinite(np.asarray(res["front_merged_normal"])).all()
+        assert "avatar_colors" in res and "recon_colors" in res
+        colors = np.asarray(res["avatar_colors"])
+        assert np.all(colors >= 0) and np.all(colors <= 1)
+
+    def test_render_live(self, capture_env):
+        from avatarcap_tpu.render.camera import calc_front_mv, calc_back_mv
+        capture, item, cam = capture_env
+        res = capture.process_frame(item, w_recon=False)
+        live = res["live_mesh"]
+        n = 3 * int(live.num_tris)
+        lv = np.asarray(live.vertices[:n])
+        fmv = calc_front_mv(lv, rot_x_angle=-0.15)
+        bmv = calc_back_mv(lv, rot_x_angle=-0.15)
+        f, b = capture.render_live(live, jnp.asarray(fmv), jnp.asarray(bmv))
+        f = np.asarray(f)
+        assert f.shape == (128, 128, 3)
+        # phong render has both body pixels and white background
+        assert (f < 0.99).any() and (f > 0.99).any()

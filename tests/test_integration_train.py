@@ -1,0 +1,163 @@
+"""End-to-end: synthetic subject -> dataset -> training steps -> checkpoint.
+
+The SURVEY §4 "tiny synthetic subject through preprocess -> train" test.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_toy_smpl_params
+
+
+N_JOINTS = 24
+
+
+@pytest.fixture(scope="module")
+def subject_dir(tmp_path_factory):
+    from avatarcap_tpu.tools.gen_synthetic import generate_subject
+    from avatarcap_tpu.body.smpl import canonical_pose
+
+    out = str(tmp_path_factory.mktemp("subject"))
+    params = make_toy_smpl_params()
+    shape = np.zeros(10, np.float32)
+    rng = np.random.RandomState(0)
+    poses = []
+    for _ in range(2):
+        p = canonical_pose().copy()
+        p[6:] += rng.uniform(-0.2, 0.2, p.size - 6).astype(np.float32)
+        poses.append(p)
+    generate_subject(out, params, shape, np.stack(poses), n_views=2,
+                     img_size=64, pos_map_res=64, sur_pts_count=4000,
+                     vol_pts_count=500)
+    return out, params
+
+
+class TestSyntheticSubject:
+    def test_layout_written(self, subject_dir):
+        out, _ = subject_dir
+        assert os.path.exists(f"{out}/dataConfig.yaml")
+        assert os.path.exists(f"{out}/smpl/pose_0000.txt")
+        assert any(os.path.exists(f"{out}/smpl/smpl_pos_map_0000_cano{e}")
+                   for e in (".exr", ".tiff", ".npy"))
+        assert os.path.exists(f"{out}/cano_pts_ov/000.npz")
+        assert os.path.exists(f"{out}/imgs/000/color_view_000.jpg")
+        assert os.path.exists(f"{out}/imgs/000/cams.mat")
+        assert os.path.exists(f"{out}/cano_base_blend_weight_volume.npy")
+
+    def test_sdf_labels_signed(self, subject_dir):
+        out, _ = subject_dir
+        data = np.load(f"{out}/cano_pts_ov/000.npz")
+        # surface points hover near 0; volume points both signs
+        assert np.abs(data["sur_pts_ov"]).mean() < 0.1
+        assert (data["vol_pts_ov"] > 0).any() and (data["vol_pts_ov"] < 0).any()
+
+    def test_posmap_nonzero(self, subject_dir):
+        import cv2 as cv
+        out, _ = subject_dir
+        from avatarcap_tpu.data.image_io import load_float_image
+        pm = load_float_image(f"{out}/smpl/smpl_pos_map_0000_cano.exr")
+        assert pm.shape == (64, 128, 3)
+        assert np.abs(pm).max() > 0.1
+
+
+class TestTrainingLoop:
+    def test_two_steps_and_checkpoint(self, subject_dir, tmp_path):
+        from avatarcap_tpu.data.dataset import AvatarCapDataset
+        from avatarcap_tpu.models.avatar import GeoTexAvatar
+        from avatarcap_tpu.pipeline.avatar import AvatarStatics
+        from avatarcap_tpu.train.trainer import AvatarTrainer
+        from avatarcap_tpu.train import checkpoints as ckpt
+
+        out, params = subject_dir
+        ds = AvatarCapDataset(out, training=True, smpl_params=params)
+        assert len(ds) == 4  # 2 poses x 2 views
+
+        wv = np.load(f"{out}/cano_base_blend_weight_volume.npy")
+        statics = AvatarStatics(
+            weight_volume=jnp.asarray(wv),
+            cano_smpl_vertices=jnp.asarray(ds.cano_smpl_v),
+            smpl_skinning_weights=jnp.asarray(params.weights),
+            cano_bounds=jnp.asarray(ds.cano_bounds),
+            cano_smpl_center=jnp.asarray(ds.cano_smpl_center))
+
+        module = GeoTexAvatar(if_type="sdf")
+        item0 = ds[0]
+        variables = jax.jit(module.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+            jnp.asarray(item0["smpl_pos_map"])[None],
+            statics.cano_smpl_center[None])
+
+        trainer = AvatarTrainer(module=module, statics=statics,
+                                net_ckpt_dir=str(tmp_path / "ckpt"),
+                                n_samples=8)
+        state = trainer.init_state(variables)
+        state = trainer.fit(ds, 0, 1, batch_size=2, state=state,
+                            ckpt_interval=1, log_fn=lambda *_: None)
+        assert int(state.step) == 2
+
+        # losses logged
+        log = (tmp_path / "ckpt" / "train_loss.jsonl").read_text()
+        import json
+        recs = [json.loads(l) for l in log.splitlines()]
+        assert len(recs) == 2
+        assert all(np.isfinite(r["total_loss"]) for r in recs)
+
+        # epoch 0: warp lr is zero -> warping field params unchanged
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(
+                state.params["warping_field"])[0]),
+            np.asarray(jax.tree.leaves(
+                variables["params"]["warping_field"])[0]))
+        # template params did change
+        before = np.asarray(jax.tree.leaves(
+            variables["params"]["cano_template"])[0])
+        after = np.asarray(jax.tree.leaves(
+            state.params["cano_template"])[0])
+        assert np.abs(after - before).max() > 0
+
+        # checkpoint round-trip
+        state2 = ckpt.load_train_state(str(tmp_path / "ckpt" / "epoch_latest"),
+                                       state)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_loss_decreases_on_repeated_batch(self, subject_dir, tmp_path):
+        """Overfit sanity: repeated identical batch => total loss drops."""
+        from avatarcap_tpu.data.dataset import AvatarCapDataset
+        from avatarcap_tpu.models.avatar import GeoTexAvatar
+        from avatarcap_tpu.pipeline.avatar import AvatarStatics
+        from avatarcap_tpu.train.trainer import (AvatarTrainer, TrainState)
+
+        out, params = subject_dir
+        ds = AvatarCapDataset(out, training=True, smpl_params=params)
+        wv = np.load(f"{out}/cano_base_blend_weight_volume.npy")
+        statics = AvatarStatics(
+            weight_volume=jnp.asarray(wv),
+            cano_smpl_vertices=jnp.asarray(ds.cano_smpl_v),
+            smpl_skinning_weights=jnp.asarray(params.weights),
+            cano_bounds=jnp.asarray(ds.cano_bounds),
+            cano_smpl_center=jnp.asarray(ds.cano_smpl_center))
+        module = GeoTexAvatar(if_type="sdf")
+        item = ds.__getitem__(0, np.random.RandomState(0))
+        batch = {k: jnp.asarray(np.stack([v]))
+                 for k, v in item.items() if isinstance(v, np.ndarray)}
+        variables = jax.jit(module.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+            batch["smpl_pos_map"], statics.cano_smpl_center[None])
+        trainer = AvatarTrainer(module=module, statics=statics,
+                                net_ckpt_dir=str(tmp_path / "c2"),
+                                n_samples=8)
+        state = trainer.init_state(variables)
+        lrs = jnp.asarray([1e-3, 0.0])
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(8):
+            rng, r = jax.random.split(rng)
+            state, m = trainer.train_step(state, batch, lrs, r)
+            losses.append(float(m["total_loss"]))
+        assert losses[-1] < losses[0]
