@@ -18,8 +18,6 @@ import time
 import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "tests"))
 
 import numpy as np
 
