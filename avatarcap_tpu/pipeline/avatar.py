@@ -18,6 +18,7 @@ host chunk loops:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -194,6 +195,85 @@ def render_rays(module: GeoTexAvatar, variables, ray_o: jnp.ndarray,
         "occ": out["occ"],
         "nonrigid_offset": out["nonrigid_offset"],
     }, updates
+
+
+def pack_fused_query_weights(variables):
+    """Precompute Pallas operands for query_occupancy_fused (eval only)."""
+    from avatarcap_tpu.ops.pallas_query import (pack_template_weights,
+                                                pack_offset_weights)
+    return {
+        "template": pack_template_weights(
+            variables["params"]["cano_template"]),
+        "offset": pack_offset_weights(
+            variables["params"]["warping_field"],
+            variables["batch_stats"]["warping_field"]),
+    }
+
+
+@jax.jit
+def query_occupancy_fused(packed, cano_pts: jnp.ndarray,
+                          pose_feat_map: jnp.ndarray,
+                          statics: AvatarStatics):
+    """Inference fast path for query_occupancy: the warp OffsetDecoder,
+    warped-point PE, and implicit template run as ONE fused Pallas kernel
+    holding all activations in VMEM (see ops/pallas_query.py). Matches the
+    XLA path at the default bf16 matmul precision.
+
+    Args:
+      packed: from pack_fused_query_weights.
+      cano_pts: (B, N, 3).
+    Returns dict(cano_pts_ov (B,N,1), nonrigid_offset (B,N,3)).
+    """
+    from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
+    from avatarcap_tpu.ops.grid_sample import sample_feature_map_at_points
+
+    B, N, _ = cano_pts.shape
+    pts_c = cano_pts - statics.cano_smpl_center[None, None]
+    feat_nchw = jnp.moveaxis(pose_feat_map, -1, 1)
+    pose_feat = sample_feature_map_at_points(feat_nchw, pts_c)  # (B, N, 64)
+    out = warp_template_query_fused(packed["offset"], packed["template"],
+                                    cano_pts.reshape(B * N, 3),
+                                    pose_feat.reshape(B * N, -1))
+    return {"cano_pts_ov": out["occ"].reshape(B, N, 1),
+            "nonrigid_offset": out["offset"].reshape(B, N, 3)}
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def grid_pose_features(pose_feat_map: jnp.ndarray,
+                       statics: AvatarStatics,
+                       grid_shape, flat_idx: Optional[jnp.ndarray] = None):
+    """Pose features for REGULAR-GRID query points, exploiting that the
+    pixel-aligned fetch only depends on (x, y): sample once per unique grid
+    column (X*Y bilinear fetches instead of N) and broadcast along z.
+
+    The reference's pose-feature fetch is pure 2D (arch_avatar.py:124-134);
+    at 384x384x128 this removes 128x of the gather traffic — the dominant
+    cost of the fused query path on TPU.
+
+    Args:
+      pose_feat_map: (1, H, W, C).
+      grid_shape: static (X, Y, Z) of the canonical grid over cano_bounds.
+      flat_idx: optional (N,) flat indices into the x-major grid (compacted
+        valid points); None means the full grid in order.
+    Returns:
+      (N, C) pose features (N = X*Y*Z when flat_idx is None).
+    """
+    from avatarcap_tpu.ops.grid_sample import sample_feature_map_at_points
+    X, Y, Z = grid_shape
+    lo = statics.cano_bounds[0]
+    hi = statics.cano_bounds[1]
+    xs = jnp.linspace(0.0, 1.0, X) * (hi[0] - lo[0]) + lo[0]
+    ys = jnp.linspace(0.0, 1.0, Y) * (hi[1] - lo[1]) + lo[1]
+    gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+    cols = jnp.stack([gx.reshape(-1), gy.reshape(-1),
+                      jnp.zeros(X * Y, xs.dtype)], axis=-1)   # (X*Y, 3)
+    pts_c = cols - statics.cano_smpl_center[None]
+    feat_nchw = jnp.moveaxis(pose_feat_map, -1, 1)
+    pf_cols = sample_feature_map_at_points(
+        feat_nchw, pts_c[None])[0]                            # (X*Y, C)
+    if flat_idx is None:
+        return jnp.repeat(pf_cols, Z, axis=0)
+    return pf_cols[flat_idx // Z]
 
 
 def query_occupancy(module: GeoTexAvatar, variables, cano_pts: jnp.ndarray,

@@ -31,7 +31,9 @@ from avatarcap_tpu.models.avatar import GeoTexAvatar
 from avatarcap_tpu.models.recon import ReconNetwork
 from avatarcap_tpu.pipeline.avatar import (
     AvatarStatics, FrameInputs, compute_pose_features, query_occupancy,
+    query_occupancy_fused, pack_fused_query_weights, grid_pose_features,
     render_rays)
+from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
 from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
 from avatarcap_tpu.ops.sobel import sample_volume_normals
 from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
@@ -72,6 +74,7 @@ class CaptureOptions:
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
+    use_fused_query: bool = True     # Pallas fast path for the grid query
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
@@ -116,15 +119,36 @@ class AvatarCapture:
 
         o = self.opt
 
+        # Pallas kernels are TPU-only; fall back to the XLA path elsewhere
+        # (e.g. the virtual-CPU test platform).
+        use_fused = o.use_fused_query and jax.default_backend() == "tpu"
+        o = dataclasses.replace(o, use_fused_query=use_fused)
+        self.opt = o
+        self._packed_query = (pack_fused_query_weights(avatar_vars)
+                              if o.use_fused_query else None)
+
         @jax.jit
         def avatar_geometry_stage(avatar_vars, frame: FrameInputs):
             feat, _ = compute_pose_features(self.avatar, avatar_vars,
                                             frame.smpl_pos_map)
-            out, _ = query_occupancy(self.avatar, avatar_vars,
-                                     self.grid.valid_pts[None], feat,
-                                     self.statics)
+            if o.use_fused_query:
+                # grid-structured pose features (z-broadcast) + one-kernel
+                # warp+template query — the Mpts/s fast path
+                pf = grid_pose_features(feat, self.statics,
+                                        self.grid.vol_res,
+                                        self.grid.valid_idx)
+                qout = warp_template_query_fused(
+                    self._packed_query["offset"],
+                    self._packed_query["template"],
+                    self.grid.valid_pts, pf)
+                occ = qout["occ"][:, 0]
+            else:
+                out, _ = query_occupancy(self.avatar, avatar_vars,
+                                         self.grid.valid_pts[None], feat,
+                                         self.statics)
+                occ = out["cano_pts_ov"][0, :, 0]
             vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
-                out["cano_pts_ov"][0, :, 0], mode="drop")
+                occ, mode="drop")
             mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active)
             return mesh, feat

@@ -1,0 +1,454 @@
+"""Offline training/real-data preprocessing (reference gen_data/).
+
+Scan pipeline per subject (reference gen_data/preprocess_training_data.py):
+1. canonicalize: barycentric LBS from the closest SMPL triangle, inverse
+   skinning, two-space normal-agreement culling (:47-103);
+2. non-rigid ICP of the subdivided SMPL template to the canonical scan
+   (embedded-deformation node graph, reference gen_data/nonrigid_fitting.py);
+3. inpaint template points where the scan is missing (:127-151);
+4. watertight reconstruction — the reference shells out to PoissonRecon.exe
+   (:156-159, an unchecked os.system call to a Windows binary); here a
+   TSDF-from-oriented-points + marching-tets reconstruction runs on device;
+5. curvature-adaptive point presampling with signed-distance labels
+   (:252-311);
+6. orbit view rendering + SMPL position maps + LBS weight volume
+   (:314-463, via the device rasterizer — see tools/gen_synthetic.py).
+
+Real-data pipeline (reference gen_data/preprocess_real_data.py): SMPL-
+projection square crop -> pix2pixHD normal inference -> paste back ->
+position maps -> dataConfig.yaml.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avatarcap_tpu.body.smpl import SmplParams, smpl_forward, canonical_pose
+from avatarcap_tpu.body.skinning import blend_joint_mats
+from avatarcap_tpu.ops.se3 import rigid_inverse
+from avatarcap_tpu.ops.closest_point import closest_point_on_mesh, \
+    signed_distance
+from avatarcap_tpu.ops.knn import knn
+from avatarcap_tpu.ops.se3 import axis_angle_to_matrix
+from avatarcap_tpu.ops.marching_cubes import marching_tets
+
+
+# ---------------------------------------------------------------------------
+# 1. Scan canonicalization
+# ---------------------------------------------------------------------------
+
+def canonicalize_scan(scan_v: np.ndarray, scan_n: np.ndarray,
+                      smpl_pose: np.ndarray, smpl_shape: np.ndarray,
+                      smpl_params: SmplParams):
+    """Inverse-skin a live scan to canonical space with normal culling
+    (reference gen_data/preprocess_training_data.py:47-103).
+
+    Returns (cano_v, cano_n) for the surviving points.
+    """
+    pose = smpl_pose.copy()
+    pose[-12:] = 0.0  # zero hands (reference :56-57)
+    live = smpl_forward(smpl_params, jnp.asarray(pose),
+                        jnp.asarray(smpl_shape))
+    cano = smpl_forward(smpl_params, jnp.asarray(canonical_pose()),
+                        jnp.asarray(smpl_shape))
+
+    faces = smpl_params.faces
+    live_v = np.asarray(live.vertices)
+    cp = closest_point_on_mesh(jnp.asarray(scan_v), live.vertices,
+                               jnp.asarray(faces))
+    tri_lbs = smpl_params.weights[faces[np.asarray(cp.face_idx)]]  # (N,3,J)
+    lbs = jnp.asarray((np.asarray(cp.bary)[..., None] * tri_lbs).sum(1))
+
+    live2cano = cano.jnt_affine_mats @ rigid_inverse(live.jnt_affine_mats)
+    vmats = blend_joint_mats(lbs, live2cano)
+    sv = jnp.asarray(scan_v)
+    sn = jnp.asarray(scan_n / (np.linalg.norm(scan_n, axis=-1,
+                                              keepdims=True) + 1e-16))
+    cano_v = jnp.einsum("vij,vj->vi", vmats[:, :3, :3], sv,
+                        precision="highest") + vmats[:, :3, 3]
+    cano_n = jnp.einsum("vij,vj->vi", vmats[:, :3, :3], sn,
+                        precision="highest")
+
+    def face_normals(verts):
+        t = np.asarray(verts)[faces]
+        n = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+        return n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-16)
+
+    fn_live = face_normals(live.vertices)[np.asarray(cp.face_idx)]
+    fn_cano = face_normals(cano.vertices)[np.asarray(cp.face_idx)]
+    live_flag = np.einsum("vi,vi->v", fn_live, np.asarray(sn)) > 0
+    cano_flag = np.einsum("vi,vi->v", fn_cano, np.asarray(cano_n)) > 0
+    keep = live_flag & cano_flag
+    return np.asarray(cano_v)[keep], np.asarray(cano_n)[keep]
+
+
+# ---------------------------------------------------------------------------
+# 2. Non-rigid embedded-deformation ICP
+# ---------------------------------------------------------------------------
+
+def sample_nodes_even(verts: np.ndarray, radius: float,
+                      seed: int = 0) -> np.ndarray:
+    """Approximate even surface sampling: shuffled greedy radius rejection
+    (reference uses trimesh.sample_surface_even, nonrigid_fitting.py:25)."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(verts))
+    cell = radius / math.sqrt(3.0)
+    taken = {}
+    nodes = []
+    for i in order:
+        v = verts[i]
+        key = tuple((v // cell).astype(np.int64))
+        ok = True
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for n in taken.get((key[0] + dx, key[1] + dy,
+                                        key[2] + dz), []):
+                        if np.sum((v - n) ** 2) < radius * radius:
+                            ok = False
+                            break
+        if ok:
+            taken.setdefault(key, []).append(v)
+            nodes.append(v)
+    return np.asarray(nodes, np.float32)
+
+
+def nonrigid_fit(template_v: np.ndarray, template_n: np.ndarray,
+                 target_v: np.ndarray, target_n: np.ndarray,
+                 node_radius: float = 0.008, iterations: int = 200,
+                 lr: float = 2e-3, lambda_icp: float = 1.0,
+                 lambda_smooth: float = 0.5, seed: int = 0):
+    """Embedded-deformation ICP (reference gen_data/nonrigid_fitting.py).
+
+    Per-node axis-angle + translation; vertices skinned by 4-NN inverse-
+    distance weights; point-to-plane data term with distance/normal gating
+    on a 3-phase schedule; ARAP-ish node smoothness. The reference drives
+    LBFGS(max_iter=1) x200; we run Adam — same objective, jitted steps.
+
+    Returns deformed template vertices (V, 3).
+    """
+    nodes = sample_nodes_even(template_v, node_radius, seed)
+    n_nodes = len(nodes)
+    nodes_j = jnp.asarray(nodes)
+    # node graph: 8 neighbors (excluding self)
+    _, nidx = knn(nodes_j, nodes_j, k=min(9, n_nodes))
+    node_nbrs = jnp.asarray(nidx[:, 1:])
+    # vertex skinning: 4 nearest nodes, inverse-distance weights
+    d2, vidx = knn(jnp.asarray(template_v), nodes_j, k=min(5, n_nodes))
+    d2, vidx = d2[:, 1:], vidx[:, 1:]
+    w = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-12))
+    w = w / (jnp.sum(w, -1, keepdims=True) + 1e-16)
+
+    tv = jnp.asarray(template_v)
+    tn = jnp.asarray(template_n)
+    tar_v = jnp.asarray(target_v)
+    tar_n = jnp.asarray(target_n)
+
+    def deform(aa, tr):
+        R = axis_angle_to_matrix(aa[vidx])               # (V, 4, 3, 3)
+        t = tr[vidx]                                     # (V, 4, 3)
+        Rv = jnp.sum(w[..., None, None] * R, axis=1)
+        tvtx = jnp.sum(w[..., None] * t, axis=1)
+        lv = jnp.einsum("vij,vj->vi", Rv, tv, precision="highest") + tvtx
+        ln = jnp.einsum("vij,vj->vi", Rv, tn, precision="highest")
+        return lv, ln
+
+    def icp_loss(lv, ln, dist_thres, normal_thres):
+        # first acceptable of the 4 nearest target points
+        # (reference nonrigid_fitting.py:98-124)
+        _, ki = knn(lv, tar_v, k=4, chunk=min(65536, lv.shape[0]))
+        kv = tar_v[ki]                                   # (V, 4, 3)
+        kn = tar_n[ki]
+        dist_ok = jnp.linalg.norm(lv[:, None] - kv, axis=-1) < dist_thres
+        norm_ok = jnp.einsum("vi,vki->vk", ln, kn) > normal_thres
+        ok = dist_ok & norm_ok                           # (V, 4)
+        first = jnp.argmax(ok, axis=-1)
+        any_ok = jnp.any(ok, axis=-1)
+        sel_v = jnp.take_along_axis(kv, first[:, None, None]
+                                    .repeat(3, -1), 1)[:, 0]
+        sel_n = jnp.take_along_axis(kn, first[:, None, None]
+                                    .repeat(3, -1), 1)[:, 0]
+        v2n = jnp.einsum("vi,vi->v", lv - sel_v, sel_n)
+        return jnp.sum(jnp.where(any_ok, v2n * v2n, 0.0))
+
+    def smooth_loss(aa, tr):
+        R = axis_angle_to_matrix(aa)
+        live_nodes = jnp.einsum("vij,vj->vi", R, nodes_j,
+                                precision="highest") + tr
+        Rn = axis_angle_to_matrix(aa[node_nbrs])
+        tn_ = tr[node_nbrs]
+        driven = jnp.einsum("vnij,vj->vni", Rn, nodes_j,
+                            precision="highest") + tn_
+        return jnp.sum(jnp.square(live_nodes[:, None] - driven))
+
+    import optax
+    opt = optax.adam(lr)
+
+    def loss_fn(params, dist_thres, normal_thres):
+        aa, tr = params
+        lv, ln = deform(aa, tr)
+        return (lambda_icp * icp_loss(lv, ln, dist_thres, normal_thres)
+                + lambda_smooth * smooth_loss(aa, tr))
+
+    @jax.jit
+    def step(params, opt_state, dist_thres, normal_thres):
+        loss, g = jax.value_and_grad(loss_fn)(params, dist_thres,
+                                              normal_thres)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = (jnp.zeros((n_nodes, 3)), jnp.zeros((n_nodes, 3)))
+    opt_state = opt.init(params)
+    ct = math.cos(math.pi / 4)
+    for it in range(iterations):
+        # gating schedule (reference nonrigid_fitting.py:166-175)
+        dist_thres = 0.1 if it < 100 else (0.05 if it <= 250 else 0.02)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.float32(dist_thres),
+                                       jnp.float32(ct))
+    lv, _ = deform(*params)
+    return np.asarray(lv)
+
+
+# ---------------------------------------------------------------------------
+# 4. Watertight reconstruction (Poisson substitute): oriented-point TSDF
+# ---------------------------------------------------------------------------
+
+def watertight_from_points(points: np.ndarray, normals: np.ndarray,
+                           voxel: float = 0.01, pad: float = 0.05,
+                           trunc: float = 0.02, k: int = 8,
+                           max_tris: int = 1 << 20):
+    """Watertight mesh from an oriented point cloud.
+
+    SDF(x) is estimated as the KNN-weighted average of plane distances
+    dot(n_i, p_i - x) (inside-positive), truncated; the surface is the
+    zero crossing via marching tets. A pragmatic on-device substitute for
+    the reference's external PoissonRecon.exe (preprocess_training_data.py:
+    156-159).
+
+    Returns (verts (M, 3) triangle soup, num_tris).
+    """
+    lo = points.min(0) - pad
+    hi = points.max(0) + pad
+    res = np.maximum(((hi - lo) / voxel).astype(np.int32), 8)
+    lin = [np.linspace(lo[d], hi[d], int(res[d]), dtype=np.float32)
+           for d in range(3)]
+    g = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+
+    pj = jnp.asarray(points)
+    nj = jnp.asarray(normals / (np.linalg.norm(normals, axis=-1,
+                                               keepdims=True) + 1e-16))
+
+    @jax.jit
+    def sdf_chunk(q):
+        d2, idx = knn(q, pj, k=k, chunk=q.shape[0])
+        pk = pj[idx]                     # (C, k, 3)
+        nk = nj[idx]
+        plane = jnp.einsum("cki,cki->ck", nk, pk - q[:, None])
+        wgt = 1.0 / (d2 + 1e-8)
+        wgt = wgt / jnp.sum(wgt, -1, keepdims=True)
+        s = jnp.sum(wgt * plane, -1)
+        return jnp.clip(s, -trunc, trunc)
+
+    chunk = 65536
+    n = len(g)
+    padn = (-n) % chunk
+    gq = jnp.asarray(np.pad(g, ((0, padn), (0, 0))))
+    sdf = jax.lax.map(sdf_chunk, gq.reshape(-1, chunk, 3)).reshape(-1)[:n]
+    vol = sdf.reshape(int(res[0]), int(res[1]), int(res[2]))
+    vox = (hi - lo) / res
+    mesh = marching_tets(vol, 0.0, jnp.asarray(lo), jnp.asarray(vox),
+                         max_tris=max_tris, max_active=1 << 18)
+    nt = int(mesh.num_tris)
+    return np.asarray(mesh.vertices[: 3 * nt]), nt
+
+
+# ---------------------------------------------------------------------------
+# 5. Scan -> canonical watertight template (full stage 1-4 chain)
+# ---------------------------------------------------------------------------
+
+def canonicalize_and_reconstruct(scan_v, scan_n, smpl_pose, smpl_shape,
+                                 smpl_params: SmplParams,
+                                 subdivide_template: bool = True,
+                                 fit_iterations: int = 200,
+                                 voxel: float = 0.01):
+    """Stages 1-4 of the reference's canonicalize()
+    (preprocess_training_data.py:47-184).
+
+    Returns (wt_verts soup, num_tris, ori_sur_flag per tri).
+    """
+    cano_v, cano_n = canonicalize_scan(scan_v, scan_n, smpl_pose,
+                                       smpl_shape, smpl_params)
+
+    # template: canonical SMPL, subdivided (hands kept simple here)
+    cano = smpl_forward(smpl_params, jnp.asarray(canonical_pose()),
+                        jnp.asarray(smpl_shape))
+    tv = np.asarray(cano.vertices)
+    tf = smpl_params.faces
+    if subdivide_template:
+        tv, tf = subdivide_mesh(tv, tf)
+    tn = vertex_normals(tv, tf)
+
+    fitted = nonrigid_fit(tv, tn, cano_v, cano_n,
+                          iterations=fit_iterations)
+    fitted_n = vertex_normals(fitted, tf)
+
+    # inpainting: template verts > 1 cm from the scan (reference :129-143)
+    d2, _ = knn(jnp.asarray(fitted), jnp.asarray(cano_v), k=1)
+    inpaint = np.asarray(d2[:, 0]) > 0.01 ** 2
+    all_v = np.concatenate([cano_v, fitted[inpaint]])
+    all_n = np.concatenate([cano_n, fitted_n[inpaint]])
+
+    wt_verts, nt = watertight_from_points(all_v, all_n, voxel=voxel)
+
+    # original-surface flag per reconstructed triangle (reference :164-176)
+    d2, _ = knn(jnp.asarray(wt_verts), jnp.asarray(cano_v), k=1)
+    ori_v = np.asarray(d2[:, 0]) < 0.01 ** 2
+    tri_flag = ori_v.reshape(-1, 3).all(axis=1)
+    return wt_verts, nt, tri_flag
+
+
+def subdivide_mesh(verts: np.ndarray, faces: np.ndarray,
+                   iterations: int = 1):
+    """Midpoint 1-to-4 subdivision (trimesh.remesh.subdivide equivalent)."""
+    for _ in range(iterations):
+        edges = {}
+        new_verts = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(new_verts)
+                new_verts.append(0.5 * (verts[a] + verts[b]))
+            return edges[key]
+
+        new_faces = []
+        for (a, b, c) in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c],
+                          [ab, bc, ca]]
+        verts = np.asarray(new_verts, np.float32)
+        faces = np.asarray(new_faces, np.int32)
+    return verts, faces
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    tri = verts[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    return (vn / (np.linalg.norm(vn, axis=-1, keepdims=True) + 1e-16)) \
+        .astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# 6. Point presampling with SDF labels (reference :252-311)
+# ---------------------------------------------------------------------------
+
+def presample_points(wt_verts: np.ndarray, num_tris: int,
+                     ori_tri_flag: np.ndarray,
+                     sur_count: int = 2200000, vol_count: int = 10000,
+                     sigma: float = 0.02, seed: int = 0):
+    """Curvature-adaptive surface + volume samples with signed-distance
+    labels (inside-positive). Curvature proxy: local normal variation.
+    """
+    rng = np.random.RandomState(seed)
+    tris = wt_verts[: 3 * num_tris].reshape(-1, 3, 3)
+    ok = np.where(ori_tri_flag[:num_tris])[0]
+    if len(ok) == 0:
+        ok = np.arange(num_tris)
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tris[ok, 1] - tris[ok, 0], tris[ok, 2] - tris[ok, 0]),
+        axis=-1)
+    probs = areas / max(areas.sum(), 1e-12)
+    fid = ok[rng.choice(len(ok), sur_count, p=probs)]
+    r1, r2 = rng.uniform(size=(2, sur_count))
+    s = np.sqrt(r1)
+    bary = np.stack([1 - s, s * (1 - r2), s * r2], -1).astype(np.float32)
+    sur = (tris[fid] * bary[..., None]).sum(1)
+
+    # curvature proxy: face-normal disagreement among 8 nearest samples
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-16
+    sub = sur[:: max(1, sur_count // 200000)]
+    d2, idx = knn(jnp.asarray(sur), jnp.asarray(sub), k=1)
+    n_here = fn[fid]
+    # neighbor normal via nearest subsampled point's face
+    sub_fid = fid[:: max(1, sur_count // 200000)]
+    n_near = fn[sub_fid[np.asarray(idx[:, 0])]]
+    curv = 1.0 - np.einsum("vi,vi->v", n_here, n_near)
+    curv = np.clip(curv / max(curv.max(), 1e-6), 0, 1)
+    sigmas = np.where(curv > 0.004, sigma / 5.0, sigma).astype(np.float32)
+    sur = (sur + rng.standard_normal(sur.shape).astype(np.float32)
+           * sigmas[:, None])
+
+    lo = wt_verts[: 3 * num_tris].min(0) - 0.2
+    hi = wt_verts[: 3 * num_tris].max(0) + 0.2
+    vol = (rng.uniform(size=(vol_count, 3)) * (hi - lo) + lo) \
+        .astype(np.float32)
+
+    faces_soup = np.arange(3 * num_tris, dtype=np.int32).reshape(-1, 3)
+    sur_ov, _ = signed_distance(jnp.asarray(sur),
+                                jnp.asarray(wt_verts[: 3 * num_tris]),
+                                jnp.asarray(faces_soup))
+    vol_ov, _ = signed_distance(jnp.asarray(vol),
+                                jnp.asarray(wt_verts[: 3 * num_tris]),
+                                jnp.asarray(faces_soup))
+    return (sur, np.asarray(sur_ov), vol, np.asarray(vol_ov))
+
+
+# ---------------------------------------------------------------------------
+# 7. Real-video preprocessing (reference gen_data/preprocess_real_data.py)
+# ---------------------------------------------------------------------------
+
+def crop_square_by_smpl(img: np.ndarray, mask: np.ndarray,
+                        live_smpl_v: np.ndarray, K: np.ndarray,
+                        out_size: int = 512, margin: int = 10):
+    """SMPL-projection-driven square crop (reference :78-95).
+    Returns (cropped_img, cropped_mask, bbox (x0, y0, side))."""
+    import cv2 as cv
+    proj = live_smpl_v @ K.T
+    xy = proj[:, :2] / proj[:, 2:]
+    x0, y0 = xy.min(0) - margin
+    x1, y1 = xy.max(0) + margin
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    side = max(x1 - x0, y1 - y0)
+    x0 = int(round(cx - side / 2))
+    y0 = int(round(cy - side / 2))
+    side = int(round(side))
+    H, W = img.shape[:2]
+    pad_img = np.zeros((side, side, 3), img.dtype)
+    pad_msk = np.zeros((side, side), mask.dtype)
+    sx0, sy0 = max(0, x0), max(0, y0)
+    sx1, sy1 = min(W, x0 + side), min(H, y0 + side)
+    pad_img[sy0 - y0: sy1 - y0, sx0 - x0: sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    pad_msk[sy0 - y0: sy1 - y0, sx0 - x0: sx1 - x0] = mask[sy0:sy1, sx0:sx1]
+    out_img = cv.resize(pad_img, (out_size, out_size))
+    out_msk = cv.resize(pad_msk, (out_size, out_size),
+                        interpolation=cv.INTER_NEAREST)
+    return out_img, out_msk, (x0, y0, side)
+
+
+def infer_normal_map(generator, generator_vars, img01: np.ndarray,
+                     mask: np.ndarray, bbox, full_shape):
+    """pix2pixHD normal inference, pasted back to full resolution and
+    masked (reference :97-110). img01: (S, S, 3) in [0, 1] BGR like cv2."""
+    import cv2 as cv
+    x = jnp.asarray(img01 * 2.0 - 1.0)[None]  # tanh domain
+    n = np.asarray(generator.apply(generator_vars, x)[0])
+    x0, y0, side = bbox
+    n_full = np.zeros((*full_shape, 3), np.float32)
+    n_res = cv.resize(n, (side, side))
+    H, W = full_shape
+    sx0, sy0 = max(0, x0), max(0, y0)
+    sx1, sy1 = min(W, x0 + side), min(H, y0 + side)
+    n_full[sy0:sy1, sx0:sx1] = n_res[sy0 - y0: sy1 - y0, sx0 - x0: sx1 - x0]
+    n_full[mask == 0] = 0.0
+    return n_full

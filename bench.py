@@ -26,41 +26,50 @@ def main():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _toy_setup
-    from avatarcap_tpu.pipeline.avatar import (compute_pose_features,
-                                               query_occupancy)
+    from avatarcap_tpu.pipeline.avatar import (
+        compute_pose_features, pack_fused_query_weights, grid_pose_features)
+    from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
     from avatarcap_tpu.ops.marching_cubes import marching_tets
 
     module, statics, frame, _ = _toy_setup()
     variables = jax.jit(module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), frame.smpl_pos_map,
         statics.cano_smpl_center[None])
+    packed = pack_fused_query_weights(variables)
 
     res = 128
     lin = [jnp.linspace(0.0, 1.0, res) for _ in range(3)]
-    grid = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1).reshape(1, -1, 3)
+    grid = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
     pts = grid * (statics.cano_bounds[1] - statics.cano_bounds[0]) \
         + statics.cano_bounds[0]
-    n_pts = pts.shape[1]
+    n_pts = pts.shape[0]
 
     @jax.jit
-    def frame_fn(variables, pts, pos_map):
+    def query_fn(variables, packed, pts, pos_map):
         feat, _ = compute_pose_features(module, variables, pos_map)
-        out, _ = query_occupancy(module, variables, pts, feat, statics)
-        vol = out["cano_pts_ov"][0, :, 0].reshape(res, res, res)
+        pf = grid_pose_features(feat, statics, (res, res, res))
+        out = warp_template_query_fused(packed["offset"],
+                                        packed["template"], pts, pf)
+        return out["occ"][:, 0].reshape(res, res, res)
+
+    @jax.jit
+    def mc_fn(vol):
         voxel = (statics.cano_bounds[1] - statics.cano_bounds[0]) / res
         mesh = marching_tets(vol, 0.0, statics.cano_bounds[0], voxel,
                              max_tris=1 << 19, max_active=1 << 17)
-        return mesh.num_tris, out["cano_pts_ov"].sum()
+        return mesh.num_tris
 
     # warm up (compile)
-    nt, s = frame_fn(variables, pts, frame.smpl_pos_map)
+    vol = query_fn(variables, packed, pts, frame.smpl_pos_map)
+    nt = mc_fn(vol)
     _ = int(nt)
 
-    iters = 5
+    iters = 10
     t0 = time.time()
     for _ in range(iters):
-        nt, s = frame_fn(variables, pts, frame.smpl_pos_map)
-    _ = (int(nt), float(s))  # forced readback
+        vol = query_fn(variables, packed, pts, frame.smpl_pos_map)
+        nt = mc_fn(vol)
+    _ = int(nt)  # forced readback (axon: block_until_ready lies)
     dt = (time.time() - t0) / iters
 
     mpts_per_s = n_pts / dt / 1e6
