@@ -1,0 +1,114 @@
+"""Streaming multi-frame capture over a device mesh (BASELINE config #5).
+
+The reference processes video strictly frame-by-frame on one GPU with >=6
+host round-trips per frame (SURVEY §3.2). Here a batch of frames — pose
+maps, SMPL joint transforms, live vertices — is stacked and sharded over
+the mesh's data axis; the whole geometry stage (pose U-Net -> warp+template
+query over the canonical grid -> volume scatter -> marching tets) runs as
+ONE jitted, vmapped program, so each device produces its frame's mesh with
+zero cross-device communication (the weights are replicated; there is
+nothing to all-gather until meshes are consumed).
+
+On a v5e-4 this gives ~4x frame throughput; on one chip it degenerates to
+an efficient batched pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avatarcap_tpu.models.avatar import GeoTexAvatar
+from avatarcap_tpu.pipeline.avatar import (
+    AvatarStatics, FrameInputs, compute_pose_features, query_occupancy)
+from avatarcap_tpu.pipeline.capture import CaptureGrid, CaptureMesh, \
+    _extract_mesh
+from avatarcap_tpu.ops.knn import approx_lbs_weights
+from avatarcap_tpu.body.skinning import skin_points
+
+
+class StreamingCapture:
+    """Batched/sharded avatar-geometry streaming.
+
+    Args:
+      avatar, avatar_vars, statics, grid: as in AvatarCapture.
+      mesh: device mesh with a 'data' axis; batch = mesh size per step.
+    """
+
+    def __init__(self, avatar: GeoTexAvatar, avatar_vars,
+                 statics: AvatarStatics, grid: CaptureGrid, mesh: Mesh,
+                 iso_value: float = 0.0, max_tris: int = 1 << 18,
+                 max_active: int = 1 << 16):
+        self.avatar = avatar
+        self.statics = statics
+        self.grid = grid
+        self.mesh = mesh
+        self.batch = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+        repl = NamedSharding(mesh, P())
+        shard0 = NamedSharding(mesh, P("data"))
+        self.avatar_vars = jax.device_put(avatar_vars, repl)
+        self._statics = jax.device_put(statics, repl)
+        self._grid = jax.device_put(grid, repl)
+        self._shard0 = shard0
+
+        _grid = self._grid  # closed over: vol_res must stay static
+
+        def one_frame(avatar_vars, statics, pos_map):
+            feat, _ = compute_pose_features(avatar, avatar_vars,
+                                            pos_map[None])
+            out, _ = query_occupancy(avatar, avatar_vars,
+                                     _grid.valid_pts[None], feat, statics)
+            vol = _grid.prior_volume.at[_grid.valid_idx].set(
+                out["cano_pts_ov"][0, :, 0], mode="drop")
+            return _extract_mesh(vol, _grid, statics.cano_bounds, iso_value,
+                                 max_tris, max_active)
+
+        @functools.partial(jax.jit,
+                           in_shardings=(repl, repl, shard0, shard0),
+                           out_shardings=shard0)
+        def geometry_batch(avatar_vars, statics, pos_maps, cano2live):
+            def per_frame(pos_map, c2l):
+                m = one_frame(avatar_vars, statics, pos_map)
+                lbs = approx_lbs_weights(m.vertices,
+                                         statics.cano_smpl_vertices,
+                                         statics.smpl_skinning_weights,
+                                         chunk=min(65536,
+                                                   m.vertices.shape[0]))
+                live_v = skin_points(m.vertices, lbs, c2l)
+                return m, CaptureMesh(live_v, m.normals, m.num_tris, m.valid)
+
+            return jax.vmap(per_frame)(pos_maps, cano2live)
+
+        self._geometry_batch = geometry_batch
+
+    def run(self, items: Iterable[dict]) -> List[dict]:
+        """Process dataset items in mesh-sized batches; returns one dict per
+        frame with cano/live CaptureMesh results (device arrays)."""
+        items = list(items)
+        results = []
+        B = self.batch
+        for start in range(0, len(items), B):
+            chunk = items[start:start + B]
+            pad = B - len(chunk)
+            chunk = chunk + [chunk[-1]] * pad
+            pos_maps = jnp.asarray(np.stack(
+                [it["smpl_pos_map"] for it in chunk]))
+            c2l = jnp.asarray(np.stack(
+                [it["cano2live_jnt_mats"] for it in chunk]))
+            pos_maps = jax.device_put(pos_maps, self._shard0)
+            c2l = jax.device_put(c2l, self._shard0)
+            cano, live = self._geometry_batch(
+                self.avatar_vars, self._statics, pos_maps, c2l)
+            n = len(chunk) - pad
+            for i in range(n):
+                results.append({
+                    "cano_mesh": jax.tree.map(lambda x: x[i], cano),
+                    "live_mesh": jax.tree.map(lambda x: x[i], live),
+                })
+        return results

@@ -395,13 +395,22 @@ def presample_points(wt_verts: np.ndarray, num_tris: int,
         .astype(np.float32)
 
     faces_soup = np.arange(3 * num_tris, dtype=np.int32).reshape(-1, 3)
-    sur_ov, _ = signed_distance(jnp.asarray(sur),
-                                jnp.asarray(wt_verts[: 3 * num_tris]),
-                                jnp.asarray(faces_soup))
-    vol_ov, _ = signed_distance(jnp.asarray(vol),
-                                jnp.asarray(wt_verts[: 3 * num_tris]),
-                                jnp.asarray(faces_soup))
-    return (sur, np.asarray(sur_ov), vol, np.asarray(vol_ov))
+    try:
+        # native BVH host path (exact, multithreaded) — preferred for the
+        # millions of label queries in preprocessing
+        from avatarcap_tpu import native
+        bvh = native.MeshBVH(wt_verts[: 3 * num_tris], faces_soup)
+        sur_ov = bvh.signed_distance(sur)
+        vol_ov = bvh.signed_distance(vol)
+        return (sur, sur_ov, vol, vol_ov)
+    except Exception:
+        sur_ov, _ = signed_distance(jnp.asarray(sur),
+                                    jnp.asarray(wt_verts[: 3 * num_tris]),
+                                    jnp.asarray(faces_soup))
+        vol_ov, _ = signed_distance(jnp.asarray(vol),
+                                    jnp.asarray(wt_verts[: 3 * num_tris]),
+                                    jnp.asarray(faces_soup))
+        return (sur, np.asarray(sur_ov), vol, np.asarray(vol_ov))
 
 
 # ---------------------------------------------------------------------------

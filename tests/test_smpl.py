@@ -96,7 +96,7 @@ class TestSkinning:
         mats = jnp.tile(jnp.eye(4), (24, 1, 1))
         mats = mats.at[:, :3, 3].set(jnp.array([1.0, 2.0, 3.0]))
         w = jnp.asarray(toy_smpl.weights)
-        n = jnp.asarray(np.random.RandomState(0)
-                        .standard_normal((64, 3)).astype(np.float32))
+        n = jnp.asarray(np.random.RandomState(0).standard_normal(
+            (toy_smpl.num_vertices, 3)).astype(np.float32))
         out = skin_normals(n, w, mats)
         np.testing.assert_allclose(np.asarray(out), np.asarray(n), atol=1e-5)
