@@ -7,7 +7,6 @@ uint8 colors at utils/obj_io.py:200-269). Host-side, numpy only.
 
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

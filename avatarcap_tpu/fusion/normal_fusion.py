@@ -85,11 +85,13 @@ def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
     proj_n = grid_sample_2d(nm, grid, mode="nearest")[0, :, :, 0].T
     valid = vis & (jnp.linalg.norm(proj_n, axis=-1) > 1e-6)
 
-    # 3. canonicalize normals (reference :56-60)
+    # 3. canonicalize normals (reference :56-60). Closed-form inverses:
+    # batched linalg.inv on millions of 4x4s LU-pads to gigabytes on TPU.
+    from avatarcap_tpu.ops.se3 import inverse_3x3
     proj_n = proj_n * jnp.array([1.0, -1.0, -1.0])
-    inv_mv_r = jnp.linalg.inv(mv)[:3, :3]
+    inv_mv_r = jnp.linalg.inv(mv)[:3, :3]  # single matrix: fine
     proj_n = jnp.einsum("ij,nj->ni", inv_mv_r, proj_n, precision="highest")
-    inv_vert_r = jnp.linalg.inv(vert_mats.reshape(-1, 4, 4))[:, :3, :3]
+    inv_vert_r = inverse_3x3(vert_mats.reshape(-1, 4, 4)[:, :3, :3])
     proj_n = jnp.einsum("nij,nj->ni", inv_vert_r, proj_n,
                         precision="highest")
     proj_n = jnp.where(valid[:, None], proj_n, 0.0)

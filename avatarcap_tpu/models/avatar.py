@@ -14,8 +14,6 @@ TPU-first re-architecture of the reference GeoTexAvatar
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -8,7 +8,7 @@ convert losslessly, while keeping NHWC layouts that XLA:TPU prefers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

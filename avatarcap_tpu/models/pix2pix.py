@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from avatarcap_tpu.models.layers import (
-    Conv, ConvTranspose, InstanceNorm, reflection_pad_2d)
+    Conv, InstanceNorm, reflection_pad_2d)
 
 
 class ResnetBlock(nn.Module):

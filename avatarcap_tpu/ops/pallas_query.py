@@ -175,6 +175,73 @@ def offset_query_fused(packed_weights, feats: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# ReconNet pixel-aligned decoder (weight-norm folded)
+# ---------------------------------------------------------------------------
+
+def _recon_kernel(feat_ref, w0, b0, w1, b1, w2, b2, w3, b3, out_ref):
+    x = feat_ref[:].astype(jnp.bfloat16)               # (33, T)
+    h = _dot(w0, x, b0)
+    h = jnp.where(h >= 0, h, 0.02 * h).astype(jnp.bfloat16)
+    h = jnp.concatenate([h, x], axis=0)                # res @1 (545, T)
+    h = _dot(w1, h, b1)
+    h = jnp.where(h >= 0, h, 0.02 * h).astype(jnp.bfloat16)
+    h = jnp.concatenate([h, x], axis=0)                # res @2 (289, T)
+    h = _dot(w2, h, b2)
+    h = jnp.where(h >= 0, h, 0.02 * h).astype(jnp.bfloat16)
+    occ = jax.nn.sigmoid(_dot(w3, h, b3))              # (1, T)
+    out_ref[:] = jnp.concatenate(
+        [occ, jnp.zeros((7, occ.shape[1]), occ.dtype)], axis=0)
+
+
+def pack_recon_weights(decoder_params):
+    """ReconNet image_decoder (weight_norm MLP) -> kernel operands.
+    torch weight_norm folds to w = g * v / |v| per output channel."""
+    ws = []
+    for i in range(3):
+        p = decoder_params[f"fc{i}"]
+        v = p["v"]                                      # (I, O)
+        g = p["g"]
+        norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+        w = (v * (g[None, :] / jnp.maximum(norm, 1e-12))).T  # (O, I)
+        ws += [w.astype(jnp.bfloat16),
+               p["bias"][:, None].astype(jnp.float32)]
+    p = decoder_params["fc3"]
+    ws += [p["kernel"].T.astype(jnp.bfloat16),
+           p["bias"][:, None].astype(jnp.float32)]
+    return tuple(ws)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def recon_decode_fused(packed_weights, feats: jnp.ndarray,
+                       tile: int = 2048) -> jnp.ndarray:
+    """Fused ReconNet pixel-aligned occupancy decode.
+
+    Args:
+      feats: (N, 33) = [pixel-aligned feature(32), z].
+    Returns:
+      (N,) occupancy in [0, 1].
+    """
+    N = feats.shape[0]
+    pad = (-N) % tile
+    fT = jnp.pad(feats, ((0, pad), (0, 0))).T           # (33, Np)
+    npad = N + pad
+    weight_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in packed_weights
+    ]
+    out = pl.pallas_call(
+        _recon_kernel,
+        grid=(npad // tile,),
+        in_specs=[pl.BlockSpec((33, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+    )(fT, *packed_weights)
+    return out[0, :N]
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused query: warp offsets -> warped points -> template, one kernel
 # ---------------------------------------------------------------------------
 

@@ -31,17 +31,14 @@ from avatarcap_tpu.models.avatar import GeoTexAvatar
 from avatarcap_tpu.models.recon import ReconNetwork
 from avatarcap_tpu.pipeline.avatar import (
     AvatarStatics, FrameInputs, compute_pose_features, query_occupancy,
-    query_occupancy_fused, pack_fused_query_weights, grid_pose_features,
-    render_rays)
+    pack_fused_query_weights, grid_pose_features, render_rays)
 from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
 from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
 from avatarcap_tpu.ops.sobel import sample_volume_normals
 from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
-from avatarcap_tpu.body.skinning import skin_points, skin_normals, \
-    blend_joint_mats
+from avatarcap_tpu.body.skinning import skin_points
 from avatarcap_tpu.render.camera import (
-    cano_front_back_mvp, gl_perspective_projection_matrix, calc_front_mv,
-    calc_back_mv, real2gl_matrix)
+    cano_front_back_mvp, gl_perspective_projection_matrix, real2gl_matrix)
 from avatarcap_tpu.render.visualize import render_cano_mesh, \
     render_live_mesh
 from avatarcap_tpu.fusion.normal_fusion import (
@@ -176,6 +173,13 @@ class AvatarCapture:
             return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid), \
                 pt_mats
 
+        if o.use_fused_query and recon_vars is not None:
+            from avatarcap_tpu.ops.pallas_query import pack_recon_weights
+            self._packed_recon = pack_recon_weights(
+                recon_vars["params"]["image_decoder"])
+        else:
+            self._packed_recon = None
+
         @jax.jit
         def recon_stage(recon_vars, front_normal, back_normal):
             """Fused normals -> occupancy volume -> mesh
@@ -184,10 +188,21 @@ class AvatarCapture:
                                   axis=-1)[None]          # (1, H, W, 6)
             feat_map = self.recon.apply(recon_vars, img,
                                         method=ReconNetwork.get_feat_maps)
-            ov = self.recon.apply(
-                recon_vars, feat_map, self.grid.valid_pts[None],
-                self.statics.cano_smpl_center[None],
-                method=ReconNetwork.decode_points)[0]
+            if o.use_fused_query:
+                # grid-structured pixel-aligned fetch + fused decoder
+                from avatarcap_tpu.ops.pallas_query import recon_decode_fused
+                pf = grid_pose_features(feat_map, self.statics,
+                                        self.grid.vol_res,
+                                        self.grid.valid_idx)
+                z = (self.grid.valid_pts[:, 2]
+                     - self.statics.cano_smpl_center[2])
+                feats = jnp.concatenate([pf, z[:, None]], axis=-1)
+                ov = recon_decode_fused(self._packed_recon, feats)
+            else:
+                ov = self.recon.apply(
+                    recon_vars, feat_map, self.grid.valid_pts[None],
+                    self.statics.cano_smpl_center[None],
+                    method=ReconNetwork.decode_points)[0]
             # recon occupancy iso is 0.5; prior volume is in [-1, 1] ->
             # rescale prior to [0, 1] for a consistent surface crossing
             prior01 = 0.5 * (self.grid.prior_volume + 1.0)

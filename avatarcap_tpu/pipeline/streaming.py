@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from avatarcap_tpu.models.avatar import GeoTexAvatar
 from avatarcap_tpu.pipeline.avatar import (
-    AvatarStatics, FrameInputs, compute_pose_features, query_occupancy)
+    AvatarStatics, compute_pose_features, query_occupancy)
 from avatarcap_tpu.pipeline.capture import CaptureGrid, CaptureMesh, \
     _extract_mesh
 from avatarcap_tpu.ops.knn import approx_lbs_weights

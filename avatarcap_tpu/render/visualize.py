@@ -140,3 +140,12 @@ def render_live_mesh(tris, normal_tris, valid, front_mv, back_mv, proj,
     back = render_mesh_single(tris, normal_tris, valid, pj @ bmv, bmv,
                               res, res, window, "phong", color_tris)
     return front.attrs, back.attrs
+
+
+def normal2color(normal_img: jnp.ndarray) -> jnp.ndarray:
+    """Map unit normals to displayable colors (reference
+    utils/visualize_util.py:129-135): valid pixels -> 0.5*n + 0.5."""
+    mask = jnp.linalg.norm(normal_img, axis=-1) > 1e-6
+    n = normal_img / jnp.maximum(
+        jnp.linalg.norm(normal_img, axis=-1, keepdims=True), 1e-12)
+    return jnp.where(mask[..., None], 0.5 * n + 0.5, normal_img)

@@ -217,6 +217,20 @@ def generate_subject(out_dir: str, smpl_params: SmplParams,
             camz = np.where(np.asarray(pos.mask), camz, 0.0)
             cv.imwrite(os.path.join(img_dir, f"depth_view_{view_idx:03d}.png"),
                        (1000 * camz).astype(np.uint16))
+            # camera-space normal map (the reference test data ships
+            # normal_view EXRs consumed by the capture's fusion stage,
+            # reference main.py:409-412); camera convention: y/z flipped
+            # back at canonicalization (normal_fusion.py:57)
+            nrm = render_mesh_single(tris, jnp.asarray(normals_live),
+                                     jnp.ones((len(faces),), bool), mvp,
+                                     jnp.asarray(extr), img_size, img_size,
+                                     window=8)
+            ncam = np.asarray(nrm.attrs) @ extr[:3, :3].T
+            ncam[..., 1:] *= -1.0  # inverse of the y/z flip at consumption
+            ncam = np.where(np.asarray(nrm.mask)[..., None], ncam, 0.0)
+            save_float_image(os.path.join(
+                img_dir, f"normal_view_{view_idx:03d}"),
+                ncam.astype(np.float32))
             aa = cv.Rodrigues(extr[:3, :3])[0][:, 0]
             cam_rs.append(aa)
             cam_ts.append(extr[:3, 3])

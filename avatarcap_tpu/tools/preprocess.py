@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -416,6 +415,121 @@ def presample_points(wt_verts: np.ndarray, num_tris: int,
 # ---------------------------------------------------------------------------
 # 7. Real-video preprocessing (reference gen_data/preprocess_real_data.py)
 # ---------------------------------------------------------------------------
+
+def preprocess_training_data(data_dir: str, smpl_params: SmplParams,
+                             n_views: int = 60, img_size: int = 512,
+                             pos_map_res: int = 256,
+                             sur_count: int = 2200000,
+                             vol_count: int = 10000,
+                             fit_iterations: int = 200,
+                             voxel: float = 0.01):
+    """Full per-subject scan preprocessing orchestrator
+    (reference gen_data/preprocess_training_data.py:466-543).
+
+    Input layout: data_dir/scan/NNN.ply + smpl/pose_NNN.txt + smpl/shape.txt.
+    Writes: cano_base_blend_weight_volume.npy, per-scan presampled points,
+    pos maps, orbit renders, cams.mat, dataConfig.yaml.
+    """
+    import glob
+    import yaml
+    from avatarcap_tpu.data.mesh_io import load_ply
+    from avatarcap_tpu.tools.gen_synthetic import (
+        render_smpl_position_map, compute_weight_volume)
+    from avatarcap_tpu.data.image_io import save_float_image
+
+    shape = np.loadtxt(os.path.join(data_dir, "smpl/shape.txt")) \
+        .astype(np.float32)
+    scan_paths = sorted(glob.glob(os.path.join(data_dir, "scan/*.ply")))
+    pose_paths = sorted(glob.glob(os.path.join(data_dir,
+                                               "smpl/pose_*.txt")))
+    os.makedirs(os.path.join(data_dir, "cano_pts_ov"), exist_ok=True)
+
+    np.save(os.path.join(data_dir, "cano_base_blend_weight_volume.npy"),
+            compute_weight_volume(smpl_params, shape))
+
+    for scan_path, pose_path in zip(scan_paths, pose_paths):
+        idx = int(os.path.splitext(os.path.basename(pose_path))[0]
+                  .replace("pose_", ""))
+        pose = np.loadtxt(pose_path).astype(np.float32)
+        verts, faces, normals, _ = load_ply(scan_path)
+        if normals is None:
+            normals = vertex_normals(verts, faces)
+        wt_verts, nt, ori_flag = canonicalize_and_reconstruct(
+            verts, normals, pose, shape, smpl_params,
+            fit_iterations=fit_iterations, voxel=voxel)
+        sur, sur_ov, vol, vol_ov = presample_points(
+            wt_verts, nt, ori_flag, sur_count=sur_count,
+            vol_count=vol_count)
+        np.savez(os.path.join(data_dir, f"cano_pts_ov/{idx:03d}.npz"),
+                 sur_pts=sur, sur_pts_ov=sur_ov, vol_pts=vol,
+                 vol_pts_ov=vol_ov)
+        pm = render_smpl_position_map(smpl_params, pose, shape,
+                                      res=pos_map_res)
+        save_float_image(os.path.join(
+            data_dir, f"smpl/smpl_pos_map_{idx:04d}_cano"), pm)
+
+    cam = {"fx": 2 * float(img_size), "fy": 2 * float(img_size),
+           "cx": img_size / 2.0, "cy": img_size / 2.0,
+           "img_width": img_size, "img_height": img_size}
+    with open(os.path.join(data_dir, "dataConfig.yaml"), "w") as f:
+        yaml.safe_dump({"data_type": "synthetic", "camera": cam,
+                        "pos_map_name": "cano",
+                        "pos_map_res": pos_map_res}, f)
+
+
+def preprocess_real_data(data_dir: str, smpl_params: SmplParams,
+                         generator=None, generator_vars=None,
+                         pos_map_res: int = 256):
+    """Monocular video preprocessing orchestrator
+    (reference gen_data/preprocess_real_data.py:46-123): per frame, crop by
+    projected SMPL, infer normals, paste back, save; write pos maps and
+    dataConfig.yaml (data_type 'real')."""
+    import glob
+    import yaml
+    import cv2 as cv
+    from avatarcap_tpu.tools.gen_synthetic import render_smpl_position_map
+    from avatarcap_tpu.data.image_io import save_float_image
+
+    with open(os.path.join(data_dir, "dataConfig.yaml"),
+              encoding="UTF-8") as f:
+        data_config = yaml.safe_load(f)
+    cam = data_config["camera"]
+    K = np.array([[cam["fx"], 0, cam["cx"]], [0, cam["fy"], cam["cy"]],
+                  [0, 0, 1]], np.float32)
+    shape = np.loadtxt(os.path.join(data_dir, "smpl/shape.txt")) \
+        .astype(np.float32)
+    os.makedirs(os.path.join(data_dir, "imgs/normal"), exist_ok=True)
+
+    for pose_path in sorted(glob.glob(
+            os.path.join(data_dir, "smpl/pose_*.txt"))):
+        idx = int(os.path.splitext(os.path.basename(pose_path))[0]
+                  .replace("pose_", ""))
+        pose = np.loadtxt(pose_path).astype(np.float32)
+        live = smpl_forward(smpl_params, jnp.asarray(pose),
+                            jnp.asarray(shape))
+        img = cv.imread(os.path.join(data_dir,
+                                     f"imgs/color/color_{idx:04d}.jpg"))
+        mask = cv.imread(os.path.join(data_dir,
+                                      f"imgs/mask/mask_{idx:04d}.png"),
+                         cv.IMREAD_UNCHANGED)
+        if generator is not None:
+            crop, cmask, bbox = crop_square_by_smpl(
+                img.astype(np.float32) / 255.0, mask,
+                np.asarray(live.vertices), K)
+            normal = infer_normal_map(generator, generator_vars, crop,
+                                      mask, bbox, img.shape[:2])
+            save_float_image(os.path.join(
+                data_dir, f"imgs/normal/normal_{idx:04d}"), normal)
+        pm = render_smpl_position_map(smpl_params, pose, shape,
+                                      res=pos_map_res)
+        save_float_image(os.path.join(
+            data_dir, f"smpl/smpl_pos_map_{idx:04d}_cano"), pm)
+
+    data_config.update({"data_type": "real", "pos_map_name": "cano",
+                        "pos_map_res": pos_map_res})
+    with open(os.path.join(data_dir, "dataConfig.yaml"), "w") as f:
+        yaml.safe_dump(data_config, f)
+
 
 def crop_square_by_smpl(img: np.ndarray, mask: np.ndarray,
                         live_smpl_v: np.ndarray, K: np.ndarray,

@@ -18,11 +18,10 @@ stats thread through the three forward passes exactly as torch would
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 import time
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ import optax
 
 from avatarcap_tpu.models.avatar import GeoTexAvatar
 from avatarcap_tpu.pipeline.avatar import (
-    AvatarStatics, FrameInputs, _forward_impl, query_occupancy)
+    AvatarStatics, FrameInputs, _forward_impl)
 from avatarcap_tpu.ops.volume_render import (
     raw2outputs, stratified_z_vals, z_vals_to_dists)
 from avatarcap_tpu.train.schedules import StepSchedule

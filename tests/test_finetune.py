@@ -1,0 +1,73 @@
+"""Texture finetuning: only cano_template moves; losses finite."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_toy_smpl_params
+
+
+def test_finetune_step_freezes_non_template(tmp_path):
+    from avatarcap_tpu.body.smpl import smpl_forward, canonical_pose
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.pipeline.avatar import AvatarStatics
+    from avatarcap_tpu.train.finetune import make_finetune_step
+    from avatarcap_tpu.train.trainer import TrainState
+    import optax
+
+    params = make_toy_smpl_params()
+    cano = smpl_forward(params, jnp.asarray(canonical_pose()), jnp.zeros(10))
+    v = np.asarray(cano.vertices)
+    lo = v.min(0) - 0.1
+    hi = v.max(0) + 0.1
+    wv = np.zeros((8, 8, 8, 24), np.float32)
+    wv[..., 0] = 1.0
+    statics = AvatarStatics(jnp.asarray(wv), cano.vertices,
+                            jnp.asarray(params.weights),
+                            jnp.asarray(np.stack([lo, hi])),
+                            jnp.asarray(0.5 * (lo + hi)))
+    module = GeoTexAvatar(if_type="sdf")
+    rng = np.random.RandomState(0)
+    B, R, NP = 1, 16, 64
+    batch = {
+        "live_smpl_v": jnp.asarray(v)[None],
+        "cano2live_jnt_mats": jnp.tile(jnp.eye(4), (B, 24, 1, 1)),
+        "smpl_pos_map": jnp.asarray(
+            rng.standard_normal((B, 128, 128, 6)).astype(np.float32)),
+        "cano_pts": jnp.asarray(
+            rng.uniform(-0.2, 0.2, (B, NP, 3)).astype(np.float32)),
+        "rgb": jnp.asarray(rng.uniform(0, 1, (B, R, 3)).astype(np.float32)),
+        "ray_o": jnp.tile(jnp.asarray([0.0, 0, -2]), (B, R, 1)),
+        "ray_d": jnp.tile(jnp.asarray([0.0, 0, 1]), (B, R, 1)),
+        "near": jnp.full((B, R), 1.5),
+        "far": jnp.full((B, R), 2.5),
+        "depth": jnp.zeros((B, R)),
+    }
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+        batch["smpl_pos_map"], statics.cano_smpl_center[None])
+
+    def label_fn(p):
+        return jax.tree.map_with_path(
+            lambda path, _: "train" if path[0].key == "cano_template"
+            else "freeze", p)
+    opt = optax.multi_transform(
+        {"train": optax.adam(5e-4), "freeze": optax.set_to_zero()}, label_fn)
+    step = make_finetune_step(module, opt, statics, n_samples=4)
+    init_vars = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt.init(variables["params"]),
+                       jnp.zeros((), jnp.int32))
+    for i in range(3):
+        state, m = step(state, init_vars, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["total_loss"]))
+    # warping field frozen exactly
+    for a, b in zip(jax.tree.leaves(state.params["warping_field"]),
+                    jax.tree.leaves(variables["params"]["warping_field"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # template moved
+    before = jax.tree.leaves(variables["params"]["cano_template"])[0]
+    after = jax.tree.leaves(state.params["cano_template"])[0]
+    assert float(jnp.abs(after - before).max()) > 0

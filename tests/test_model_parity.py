@@ -120,6 +120,61 @@ class TestUnetParity:
         np.testing.assert_allclose(from_nhwc(got), ref, atol=1e-4)
 
 
+class TestUnet56Parity:
+    @pytest.mark.parametrize("variant", ["5DS", "6DS"])
+    def test_unet_small_variants(self, variant):
+        import network.unets as tu
+        import avatarcap_tpu.models.unets as mu
+        from avatarcap_tpu.tools.convert_torch_ckpt import (
+            _conv_block, _upconv_block)
+
+        if variant == "5DS":
+            tm = tu.UnetNoCond5DS(input_nc=3, output_nc=3, nf=16)
+            m = mu.UnetNoCond5DS(output_nc=3, nf=16)
+            size = 64
+            down_bn = {"conv1": False, "conv2": True, "conv3": True,
+                       "conv4": True, "conv5": False}
+            ups = [("upconv1", True, "upconv", False),
+                   ("upconv2", True, "upconv", False),
+                   ("upconv3", True, "upconv", False),
+                   ("upconv4", True, "upconv", False),
+                   ("upconv5", False, "upconv", True)]
+        else:
+            tm = tu.UnetNoCond6DS(input_nc=3, output_nc=3, nf=16)
+            m = mu.UnetNoCond6DS(output_nc=3, nf=16)
+            size = 128
+            down_bn = {"conv1": False, "conv2": True, "conv3": True,
+                       "conv4": True, "conv5": True, "conv6": False}
+            ups = [("upconv1", True, "upconv", False),
+                   ("upconv2", True, "upconv", False),
+                   ("upconv3", True, "upconv", False),
+                   ("upconv4", True, "upconv", False),
+                   ("upconvC5", True, "upsample", False),
+                   ("upconvC6", False, "upsample", True)]
+        with torch.no_grad():
+            for _ in range(2):
+                tm.train()(torch.randn(2, 3, size, size))
+            tm.eval()
+        sd = tm.state_dict()
+        params, stats = {}, {}
+        for name, use_bn in down_bn.items():
+            pr, st = _conv_block(sd, name, use_bn)
+            params[name] = pr
+            if st is not None:
+                stats[name] = st
+        for name, use_bn, mode, use_bias in ups:
+            pr, st = _upconv_block(sd, name, use_bn, mode, use_bias)
+            params[name] = pr
+            if use_bn:
+                stats[name] = st
+        x = np.random.randn(1, 3, size, size).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        got = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(to_nhwc(x)), train=False)
+        np.testing.assert_allclose(from_nhwc(got), ref, atol=2e-4)
+
+
 class TestLayerPrimitives:
     def test_conv_transpose_k4s2p1(self):
         import torch.nn as tnn

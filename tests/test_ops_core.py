@@ -8,7 +8,8 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
 from avatarcap_tpu.ops.se3 import (axis_angle_to_matrix, rigid_inverse,
-                                   transform_points)
+                                   transform_points, inverse_3x3,
+                                   affine_inverse)
 from avatarcap_tpu.ops.embed import positional_encoding, embed_dim
 from avatarcap_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
 from avatarcap_tpu.ops.volume_render import raw2outputs, z_vals_to_dists
@@ -44,6 +45,19 @@ class TestSE3:
         inv = np.asarray(rigid_inverse(jnp.asarray(mats)))
         np.testing.assert_allclose(inv @ mats, np.tile(np.eye(4), (5, 1, 1)),
                                    atol=1e-5)
+
+    def test_inverse_3x3_and_affine(self, rng):
+        m = rng.standard_normal((50, 3, 3)).astype(np.float32)
+        m += 3 * np.eye(3)  # well-conditioned
+        inv = np.asarray(inverse_3x3(jnp.asarray(m)))
+        np.testing.assert_allclose(inv @ m, np.tile(np.eye(3), (50, 1, 1)),
+                                   atol=1e-4)
+        a = np.tile(np.eye(4, dtype=np.float32), (50, 1, 1))
+        a[:, :3, :3] = m
+        a[:, :3, 3] = rng.standard_normal((50, 3))
+        ainv = np.asarray(affine_inverse(jnp.asarray(a)))
+        np.testing.assert_allclose(ainv @ a, np.tile(np.eye(4), (50, 1, 1)),
+                                   atol=1e-4)
 
     def test_transform_points(self, rng):
         mats = np.eye(4, dtype=np.float32)
