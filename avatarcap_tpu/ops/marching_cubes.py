@@ -155,31 +155,35 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     """
     X, Y, Z = volume.shape
     nx, ny, nz = X - 1, Y - 1, Z - 1
-    corner_vals = _corner_values(volume).reshape(-1, 8)  # (N, 8)
     n_cubes = nx * ny * nz
 
-    inside = corner_vals > iso  # (N, 8)
-    any_in = jnp.any(inside, axis=-1)
-    all_in = jnp.all(inside, axis=-1)
-    is_active = any_in & ~all_in
+    # Active mask straight from 2x2x2 window extrema — avoids materializing
+    # the (N, 8) corner tensor for all 18.6M cubes (~600 MB of traffic).
+    max8 = jax.lax.reduce_window(volume, -jnp.inf, jax.lax.max,
+                                 (2, 2, 2), (1, 1, 1), "valid")
+    min8 = -jax.lax.reduce_window(-volume, -jnp.inf, jax.lax.max,
+                                  (2, 2, 2), (1, 1, 1), "valid")
+    is_active = ((max8 > iso) & ~(min8 > iso)).reshape(-1)
 
-    # Pass 1: compact active cube ids into a static buffer.
-    active_rank = jnp.cumsum(is_active.astype(jnp.int32)) - 1
-    n_active = active_rank[-1] + 1
-    cube_ids = jnp.arange(n_cubes, dtype=jnp.int32)
-    write_idx = jnp.where(is_active & (active_rank < max_active),
-                          active_rank, max_active)
-    active_ids = jnp.zeros((max_active + 1,), jnp.int32) \
-        .at[write_idx].set(cube_ids)[:max_active]
-    # Barrier straight after the scatter: stops layout/fusion choices of the
-    # consumers from degrading the 18.6M-index scatter to seconds.
+    # Pass 1: compact active cube ids (hierarchical popcount compaction —
+    # scatters and full-length searchsorted both cost 100+ ms at 18.6M).
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    active_ids, n_active, active_valid = compact_mask_indices(
+        is_active, max_active)
     active_ids = jax.lax.optimization_barrier(active_ids)
-    active_valid = jnp.arange(max_active) < n_active
 
-    # Gather corner data for active cubes only. The barrier stops XLA from
-    # rematerializing the full-volume stage inside each emit pass below
-    # (observed 100x slowdown without it).
-    av = corner_vals[active_ids]                       # (A, 8)
+    # Gather the 8 corner values for ACTIVE cubes only (8 scalar gathers of
+    # max_active elements from the flat volume).
+    aid0 = active_ids
+    aix = aid0 // (ny * nz)
+    aiy = (aid0 // nz) % ny
+    aiz = aid0 % nz
+    vol_flat = volume.reshape(-1)
+    corner_cols = []
+    for dx, dy, dz in _CUBE_CORNERS:
+        flat = ((aix + dx) * Y + (aiy + dy)) * Z + (aiz + dz)
+        corner_cols.append(vol_flat[flat])
+    av = jnp.stack(corner_cols, axis=-1)               # (A, 8)
     av, active_ids = jax.lax.optimization_barrier((av, active_ids))
     a_inside = (av > iso).astype(jnp.int32)            # (A, 8)
 
@@ -196,73 +200,73 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     tcounts = jnp.einsum("atc,tc->at", cases_1h, ntris_table).astype(jnp.int32)
     tcounts = jnp.where(active_valid[:, None], tcounts, 0)
 
-    # Global triangle offsets: exclusive cumsum over (cube-major, tet-minor).
-    flat_counts = tcounts.reshape(-1)
-    offsets = jnp.cumsum(flat_counts) - flat_counts
-    total_tris = flat_counts.sum()
+    # Triangle bookkeeping: per-cube totals -> cumulative sums (A-long —
+    # a 262k binary search instead of one over all A*6 slots).
+    cube_counts = tcounts.sum(axis=1)                   # (A,) 0..12
+    cube_cum = jnp.cumsum(cube_counts)
+    total_tris = cube_cum[-1]
     overflow = total_tris > max_tris
-    offsets = offsets.reshape(max_active, 6)
-    cases_1h, tcounts, offsets = jax.lax.optimization_barrier(
-        (cases_1h, tcounts, offsets))
 
-    # Cube base coordinates (index space).
-    aid = active_ids
-    base = jnp.stack([aid // (ny * nz), (aid // nz) % ny, aid % nz],
-                     axis=-1).astype(volume.dtype)     # (A, 3)
+    # Scatter-free, per-output-triangle emission: triangle j's source cube
+    # is a binary search into the cumulative counts (its rank IS j); the
+    # (tet, slot) within the cube comes from a static 6-step prefix scan of
+    # that cube's per-tet counts. Interpolation then runs on max_tris
+    # gathered sources instead of all A*12 slots.
+    tri_j = jnp.arange(max_tris, dtype=jnp.int32)
+    cube_of = jnp.searchsorted(cube_cum, tri_j,
+                               side="right").astype(jnp.int32)
+    cube_of = jnp.minimum(cube_of, cube_cum.shape[0] - 1)
+    r = tri_j - (cube_cum[cube_of] - cube_counts[cube_of])  # 0..11
+    tc = tcounts[cube_of]                               # (T, 6) row gather
+    pref = jnp.cumsum(tc, axis=1)                       # (T, 6)
+    tet_of = jnp.sum((r[:, None] >= pref).astype(jnp.int32), axis=1)
+    tet_of = jnp.minimum(tet_of, 5)
+    prev = jnp.where(tet_of > 0,
+                     jnp.take_along_axis(pref,
+                                         jnp.maximum(tet_of - 1, 0)[:, None],
+                                         axis=1)[:, 0], 0)
+    k_of = jnp.clip(r - prev, 0, 1)
+    cube_of, tet_of, k_of = jax.lax.optimization_barrier(
+        (cube_of, tet_of, k_of))
 
-    corner_off = jnp.asarray(_CUBE_CORNERS, volume.dtype)  # (8, 3)
+    # Gather per-triangle sources (row gathers of max_tris elements).
+    av_t = av[cube_of]                                  # (T, 8)
+    case_t = cases[cube_of, tet_of]                     # (T,)
+    aid_t = active_ids[cube_of]
+    base_t = jnp.stack([aid_t // (ny * nz), (aid_t // nz) % ny,
+                        aid_t % nz], axis=-1).astype(volume.dtype)
 
-    # Component-planar output (9, max_tris): scatters are scalar rows into
-    # flat 1-D buffers, which keeps XLA from assigning a transposed layout
-    # that turns each 3-float row write into strided scalar writes
-    # (observed: 1.9 s/pass with an (N, 3) buffer vs ms here).
-    verts9 = jnp.full((9, max_tris), pad_value, volume.dtype)
-
-    # Precompute static one-hot corner-selection tables per (tet, slot):
-    # (16 cases, 3 tri verts, 8 cube corners) for each edge endpoint.
-    sel_tables = []
+    # Static edge tables flattened over (tet, k, case) -> 192 combos of
+    # (3 verts x 8 corners) one-hot endpoint selectors.
+    sel_a = np.zeros((6, 2, 16, 3, 8), np.float32)
+    sel_b = np.zeros((6, 2, 16, 3, 8), np.float32)
     for t in range(6):
         for k in range(2):
-            ca_oh = np.zeros((16, 3, 8), np.float32)
-            cb_oh = np.zeros((16, 3, 8), np.float32)
             for c16 in range(16):
                 for v3 in range(3):
                     e0, e1 = _EDGES_TABLE[t, c16, k, v3]
-                    ca_oh[c16, v3, max(int(e0), 0)] = 1.0
-                    cb_oh[c16, v3, max(int(e1), 0)] = 1.0
-            sel_tables.append((ca_oh, cb_oh))
+                    sel_a[t, k, c16, v3, max(int(e0), 0)] = 1.0
+                    sel_b[t, k, c16, v3, max(int(e1), 0)] = 1.0
+    sel_a192 = jnp.asarray(sel_a.reshape(192, 24))
+    sel_b192 = jnp.asarray(sel_b.reshape(192, 24))
+    combo = (tet_of * 2 + k_of) * 16 + case_t           # (T,)
+    oh = jax.nn.one_hot(combo, 192, dtype=volume.dtype)  # (T, 192)
+    sa = jnp.matmul(oh, sel_a192).reshape(-1, 3, 8)     # (T, 3, 8)
+    sb = jnp.matmul(oh, sel_b192).reshape(-1, 3, 8)
 
-    # Emit per (tet, tri-slot): 12 static passes over active cubes. All
-    # table/corner lookups are one-hot einsum contractions (VPU/MXU work);
-    # element gathers with tiny unaligned trailing dims run pathologically
-    # slowly on TPU.
-    for t in range(6):
-        oh = cases_1h[:, t]                             # (A, 16)
-        for k in range(2):
-            valid = (k < tcounts[:, t]) & active_valid  # (A,)
-            ca_oh, cb_oh = sel_tables[t * 2 + k]
-            sa = jnp.einsum("ac,cvk->avk", oh, jnp.asarray(ca_oh))  # (A,3,8)
-            sb = jnp.einsum("ac,cvk->avk", oh, jnp.asarray(cb_oh))
-            va = jnp.einsum("avk,ak->av", sa, av)       # (A, 3)
-            vb = jnp.einsum("avk,ak->av", sb, av)
-            pa = jnp.einsum("avk,kx->avx", sa, corner_off)  # (A, 3, 3)
-            pb = jnp.einsum("avk,kx->avx", sb, corner_off)
-            denom = vb - va
-            tt = (iso - va) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-            tt = jnp.clip(tt, 0.0, 1.0)
-            p = base[:, None, :] + pa + (pb - pa) * tt[..., None]
-            world = p * voxel_size + bounds_min + 0.5 * voxel_size  # (A,3,3)
-            tri_idx = offsets[:, t] + k                 # (A,)
-            write = jnp.where(valid & (tri_idx < max_tris),
-                              tri_idx, max_tris)        # OOB -> dropped
-            world, write = jax.lax.optimization_barrier((world, write))
-            for v in range(3):
-                for c in range(3):
-                    verts9 = verts9.at[v * 3 + c, write].set(
-                        world[:, v, c], mode="drop")
+    corner_off = jnp.asarray(_CUBE_CORNERS, volume.dtype)  # (8, 3)
+    va = jnp.einsum("tvh,th->tv", sa, av_t)             # (T, 3)
+    vb = jnp.einsum("tvh,th->tv", sb, av_t)
+    pa = jnp.einsum("tvh,hx->tvx", sa, corner_off)      # (T, 3, 3)
+    pb = jnp.einsum("tvh,hx->tvx", sb, corner_off)
+    denom = vb - va
+    tt = (iso - va) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    tt = jnp.clip(tt, 0.0, 1.0)
+    p = base_t[:, None, :] + pa + (pb - pa) * tt[..., None]
+    world = p * voxel_size + bounds_min + 0.5 * voxel_size  # (T, 3, 3)
+    tri_valid = tri_j < total_tris
+    verts_out = jnp.where(tri_valid[:, None, None], world, pad_value)
 
-    # (9, T) -> (T, 3, 3) -> (3T, 3)
-    verts_out = jnp.moveaxis(verts9.reshape(3, 3, max_tris), -1, 0)
     return Mesh(vertices=verts_out.reshape(max_tris * 3, 3),
                 num_tris=jnp.minimum(total_tris, max_tris).astype(jnp.int32),
                 overflow=overflow)
