@@ -103,14 +103,32 @@ def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
                             res=res, window=window)
 
 
+def _resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) align_corners=True bilinear interpolation matrix."""
+    import numpy as np
+    x = np.arange(n_out) * ((n_in - 1) / max(n_out - 1, 1))
+    x0 = np.floor(x).astype(np.int64)
+    x1 = np.minimum(x0 + 1, n_in - 1)
+    t = (x - x0).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), x0] += 1.0 - t
+    m[np.arange(n_out), x1] += t
+    return jnp.asarray(m)
+
+
 def _resize_bilinear_ac(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """align_corners=True bilinear resize of (H, W, C)
-    (reference normal_fusion.py:83-88)."""
-    gy = jnp.linspace(-1.0, 1.0, h)
-    gx = jnp.linspace(-1.0, 1.0, w)
-    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), -1)[None]
-    out = grid_sample_2d(jnp.moveaxis(img, -1, 0)[None], grid)
-    return jnp.moveaxis(out[0], 0, -1)
+    (reference normal_fusion.py:83-88).
+
+    Separable interpolation MATRICES instead of grid_sample: this resize
+    sits inside the fusion optimizer's autodiff, and grid_sample's backward
+    is a scatter-add (~6 ms/iteration at 512^2 on TPU) while a matmul's
+    backward is a matmul.
+    """
+    wr = _resize_matrix(img.shape[0], h)
+    wc = _resize_matrix(img.shape[1], w)
+    out = jnp.einsum("Oh,hwc->Owc", wr, img)
+    return jnp.einsum("Pw,Owc->OPc", wc, out)
 
 
 def _neighbor_shift(img: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:

@@ -127,18 +127,10 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     # expected covered-candidate count; default T, ~2 covered px/triangle).
     n_cand = T * K * K
     max_c = max_candidates if max_candidates > 0 else max(T, 1 << 16)
-    cand_valid = valid.reshape(-1)
-    rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
-    write = jnp.where(cand_valid & (rank < max_c), rank, max_c)
-    cand_ids = jnp.arange(n_cand, dtype=jnp.int32)
-    # materialize scatter operands — XLA:TPU executes scatters with fused
-    # operand computations orders of magnitude slower
-    write, cand_ids = jax.lax.optimization_barrier((write, cand_ids))
-    cand_of = jnp.full((max_c + 1,), n_cand, jnp.int32) \
-        .at[write].set(cand_ids)[:max_c]
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    cand_of, _, c_live = compact_mask_indices(valid.reshape(-1), max_c)
     cand_of = jax.lax.optimization_barrier(cand_of)
-    c_live = cand_of < n_cand
-    cand_safe = jnp.minimum(cand_of, n_cand - 1)
+    cand_safe = cand_of  # padded entries are 0; masked below
     pix_c = jnp.where(c_live, pix[cand_safe], height * width)
     z_c = jnp.where(c_live, zf[cand_safe], jnp.inf)
 
