@@ -220,12 +220,19 @@ def merge_normal_images(src_img: jnp.ndarray, tar_img: jnp.ndarray,
     src = (src * dtw + init_src * init_w) / (dtw + init_w)
 
     # Face box follows the avatar normal (reference :153-154):
-    # rect rows [neck_y-90, neck_y), cols [neck_x-35, neck_x+35).
+    # rect rows [neck_y-90, neck_y), cols [neck_x-35, neck_x+35). The
+    # reference indexes with a Python slice, so a negative start wraps and
+    # yields an EMPTY slice (no-op) whenever neck_y < 90 or neck_x < 35,
+    # and an out-of-range stop clips to the image edge — both replicated
+    # here with an index mask instead of dynamic_slice (which would clamp
+    # the start and write a shifted box).
     y0 = neck_xy[1] - 90
     x0 = neck_xy[0] - 35
-    patch = jax.lax.dynamic_slice(init_src, (y0, x0, 0), (90, 70, 3))
-    src = jax.lax.dynamic_update_slice(src, patch, (y0, x0, 0))
-    return src
+    H, W = src.shape[:2]
+    in_rows = (jnp.arange(H) >= y0) & (jnp.arange(H) < neck_xy[1])
+    in_cols = (jnp.arange(W) >= x0) & (jnp.arange(W) < neck_xy[0] + 35)
+    box = (in_rows[:, None] & in_cols[None, :]) & (y0 >= 0) & (x0 >= 0)
+    return jnp.where(box[..., None], init_src, src)
 
 
 @jax.jit

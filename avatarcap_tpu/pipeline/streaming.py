@@ -80,8 +80,13 @@ class StreamingCapture:
                                          statics.smpl_skinning_weights,
                                          chunk=min(65536,
                                                    m.vertices.shape[0]))
-                live_v = skin_points(m.vertices, lbs, c2l)
-                return m, CaptureMesh(live_v, m.normals, m.num_tris, m.valid)
+                live_v, pt_mats = skin_points(m.vertices, lbs, c2l,
+                                              return_pt_mats=True)
+                # normals rotate with the per-point skinning rotation, as in
+                # capture.py / reference utils/smpl_util.py:69-81
+                live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
+                                    m.normals, precision="highest")
+                return m, CaptureMesh(live_v, live_n, m.num_tris, m.valid)
 
             return jax.vmap(per_frame)(pos_maps, cano2live)
 

@@ -19,6 +19,15 @@ elementwise math, and three scatters):
      gather winner attributes.
    Deterministic: ties break to the lowest candidate id.
 
+Triangles larger than the K x K window are exact when
+``big_tri_capacity`` > 0: up to that many oversized triangles take a
+separate scatter-free per-pixel pass (every pixel tests the <=C big
+triangles and keeps the min-depth winner — full GL coverage like the
+reference's utils/renderer.py:432-451), merged with the windowed pass by
+depth (windowed pass wins exact ties). With capacity 0 they are partially
+rasterized as before. Either way ``RasterOutput.overflow`` reports dropped
+work: candidate-compaction overflow, or more big triangles than capacity.
+
 Conventions: image row 0 = top (y_ndc=+1), col 0 = left (x_ndc=-1) —
 identical to the reference's glReadPixels + y-flip output
 (reference utils/renderer.py:446-449). Back-face culling treats
@@ -39,17 +48,32 @@ class RasterOutput(NamedTuple):
     attrs: jnp.ndarray  # (H, W, A) interpolated attributes (bg = 0)
     depth: jnp.ndarray  # (H, W) NDC depth in [-1, 1]; +inf where empty
     mask: jnp.ndarray   # (H, W) bool coverage
+    overflow: jnp.ndarray  # () bool: candidates or big tris were dropped
+
+
+def _perspective_weights(w0, w1, iw_tri):
+    """Screen-space barycentrics -> perspective-correct weights.
+
+    Args: w0, w1: (..., ) barycentrics; iw_tri: (..., 3) per-vertex 1/w.
+    Returns (..., 3) normalized attribute weights.
+    """
+    w2 = 1.0 - w0 - w1
+    bw = jnp.stack([w0 * iw_tri[..., 0], w1 * iw_tri[..., 1],
+                    w2 * iw_tri[..., 2]], axis=-1)
+    denom = jnp.sum(bw, axis=-1, keepdims=True)
+    return bw / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "window", "cull",
-                                    "max_candidates"))
+                                    "max_candidates", "big_tri_capacity"))
 def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
               valid_tris: jnp.ndarray,
               height: int, width: int, window: int = 4,
               cull: bool = True,
               bg_value: float = 0.0,
-              max_candidates: int = 0) -> RasterOutput:
+              max_candidates: int = 0,
+              big_tri_capacity: int = 0) -> RasterOutput:
     """Rasterize a triangle soup.
 
     Args:
@@ -58,10 +82,14 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
       attrs: (T, 3, A) per-vertex attributes.
       valid_tris: (T,) bool (padding from marching cubes is masked here).
       height, width: output size.
-      window: static K; triangles larger than K x K pixels are partially
-        rasterized (choose K from triangle size: MC voxel meshes ~4,
-        SMPL meshes ~16).
+      window: static K; triangles larger than K x K pixels go to the big
+        pass (if enabled) or are partially rasterized (choose K from
+        triangle size: MC voxel meshes ~4, SMPL meshes ~16).
       cull: drop back faces (GL_CULL_FACE with CCW front).
+      max_candidates: compaction capacity for covered window candidates
+        (default max(T, 65536)); overflow is reported, not silent.
+      big_tri_capacity: exact-coverage slots for triangles larger than the
+        window; 0 disables the big pass.
     """
     T = clip_verts.shape[0]
     A = attrs.shape[-1]
@@ -84,10 +112,18 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     front = area2 < 0.0 if cull else jnp.abs(area2) > 0.0
     tri_ok = w_ok & front & (jnp.abs(area2) > 1e-12)
+    iw = 1.0 / w_safe                                   # (T, 3)
 
     # Candidate pixel window anchored at ceil(bbox min).
     min_x = jnp.ceil(jnp.min(px, axis=-1)).astype(jnp.int32)
     min_y = jnp.ceil(jnp.min(py, axis=-1)).astype(jnp.int32)
+
+    # Oversized triangles: the K-window starting at ceil(min) cannot reach
+    # past ceil(min)+K-1.
+    too_big = ((jnp.max(px, axis=-1) > min_x.astype(px.dtype) + (K - 1)) |
+               (jnp.max(py, axis=-1) > min_y.astype(py.dtype) + (K - 1)))
+    is_big = tri_ok & too_big
+    tri_main = tri_ok & ~is_big if big_tri_capacity > 0 else tri_ok
 
     dyx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                  indexing="ij"), axis=-1).reshape(-1, 2)
@@ -109,7 +145,7 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     eps = -1e-6
     covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
 
-    valid = covered & in_img & tri_ok[:, None]          # (T, K*K)
+    valid = covered & in_img & tri_main[:, None]        # (T, K*K)
 
     # Depth: linear-in-screen-space NDC z (GL window depth).
     z = w0 * pz[:, 0:1] + w1 * pz[:, 1:2] + w2 * pz[:, 2:3]
@@ -123,12 +159,14 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     # ~1-3 px triangles leaves ~90% of candidates invalid, and the three
     # resolve passes (2 combining scatters + 1 scalar gather) dominate the
     # kernel (~145 ms each at 16.7M candidates on v5e). Static capacity:
-    # overflowing candidates are dropped (tracked nowhere — size it by the
-    # expected covered-candidate count; default T, ~2 covered px/triangle).
-    n_cand = T * K * K
+    # overflowing candidates are dropped AND reported via `overflow` —
+    # size it by the expected covered-candidate count (default T,
+    # ~2 covered px/triangle).
     max_c = max_candidates if max_candidates > 0 else max(T, 1 << 16)
     from avatarcap_tpu.ops.compaction import compact_mask_indices
-    cand_of, _, c_live = compact_mask_indices(valid.reshape(-1), max_c)
+    cand_of, n_covered, c_live = compact_mask_indices(valid.reshape(-1),
+                                                      max_c)
+    overflow = n_covered > max_c
     cand_of = jax.lax.optimization_barrier(cand_of)
     cand_safe = cand_of  # padded entries are 0; masked below
     pix_c = jnp.where(c_live, pix[cand_safe], height * width)
@@ -150,22 +188,84 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     # Perspective-correct attribute interpolation at winners.
     w0w = w0.reshape(-1)[safe_winner]
     w1w = w1.reshape(-1)[safe_winner]
-    w2w = 1.0 - w0w - w1w
-    iw = 1.0 / w_safe                                   # (T, 3)
-    iw_t = iw[tri_of]                                   # (P, 3)
-    bw = jnp.stack([w0w * iw_t[:, 0], w1w * iw_t[:, 1],
-                    w2w * iw_t[:, 2]], axis=-1)         # (P, 3)
-    denom = jnp.sum(bw, axis=-1, keepdims=True)
-    bw = bw / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    bw = _perspective_weights(w0w, w1w, iw[tri_of])     # (P, 3)
     at = attrs[tri_of]                                  # (P, 3, A)
     out_attr = jnp.sum(at * bw[..., None], axis=1)      # (P, A)
     out_attr = jnp.where(mask[:, None], out_attr, bg_value)
+    out_depth = jnp.where(mask, zbuf[:npix], jnp.inf)
+
+    if big_tri_capacity > 0:
+        big_attr, big_depth, big_mask, big_over = _big_triangle_pass(
+            px, py, pz, iw, area2, attrs, is_big, big_tri_capacity,
+            height, width)
+        overflow = overflow | big_over
+        # Merge by depth; the windowed pass wins exact ties.
+        take_big = big_mask & (big_depth < out_depth)
+        out_attr = jnp.where(take_big[:, None], big_attr, out_attr)
+        out_depth = jnp.where(take_big, big_depth, out_depth)
+        mask = mask | big_mask
+    else:
+        # big pass disabled: oversized triangles are partially rasterized —
+        # that is dropped coverage, so report it.
+        overflow = overflow | jnp.any(is_big)
 
     return RasterOutput(
         attrs=out_attr.reshape(height, width, A),
-        depth=jnp.where(mask, zbuf[:npix], jnp.inf).reshape(height, width),
+        depth=out_depth.reshape(height, width),
         mask=mask.reshape(height, width),
+        overflow=overflow,
     )
+
+
+def _big_triangle_pass(px, py, pz, iw, area2, attrs, is_big, capacity,
+                       height, width):
+    """Exact coverage for <=capacity oversized triangles, scatter-free:
+    every pixel tests each big triangle and keeps the min-depth winner.
+    Cost is capacity * H * W elementwise ops — fine for the few large
+    triangles of body meshes seen up close.
+
+    Returns flat (P, A) attrs, (P,) depth (+inf empty), (P,) mask,
+    () overflow.
+    """
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    idx, n_big, live = compact_mask_indices(is_big, capacity)
+    bpx, bpy, bpz = px[idx], py[idx], pz[idx]           # (C, 3)
+    biw = iw[idx]
+    barea = area2[idx]
+    battrs = attrs[idx]                                 # (C, 3, A)
+
+    fy, fx = jnp.meshgrid(jnp.arange(height, dtype=px.dtype),
+                          jnp.arange(width, dtype=px.dtype), indexing="ij")
+    fx = fx.reshape(-1)                                 # (P,)
+    fy = fy.reshape(-1)
+
+    ax, ay = bpx[:, 0:1], bpy[:, 0:1]
+    bx, by = bpx[:, 1:2], bpy[:, 1:2]
+    cx, cy = bpx[:, 2:3], bpy[:, 2:3]
+    inv_area = 1.0 / jnp.where(jnp.abs(barea) < 1e-12, 1.0,
+                               barea)[:, None]
+    w0 = ((cx - bx) * (fy[None] - by) - (cy - by) * (fx[None] - bx)) \
+        * inv_area                                      # (C, P)
+    w1 = ((ax - cx) * (fy[None] - cy) - (ay - cy) * (fx[None] - cx)) \
+        * inv_area
+    w2 = 1.0 - w0 - w1
+    eps = -1e-6
+    covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & live[:, None]
+    z = w0 * bpz[:, 0:1] + w1 * bpz[:, 1:2] + w2 * bpz[:, 2:3]
+    covered &= (z >= -1.0) & (z <= 1.0)
+    zm = jnp.where(covered, z, jnp.inf)                 # (C, P)
+
+    best = jnp.argmin(zm, axis=0)                       # (P,) first min wins
+    pcols = jnp.arange(zm.shape[1])
+    zbest = zm[best, pcols]
+    mask = zbest < jnp.inf
+    w0b = w0[best, pcols]
+    w1b = w1[best, pcols]
+    bw = _perspective_weights(w0b, w1b, biw[best])      # (P, 3)
+    at = battrs[best]                                   # (P, 3, A)
+    out = jnp.sum(at * bw[..., None], axis=1)
+    out = jnp.where(mask[:, None], out, 0.0)
+    return out, jnp.where(mask, zbest, jnp.inf), mask, n_big > capacity
 
 
 def transform_to_clip(vertices: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:

@@ -48,14 +48,16 @@ def phong_shade(cam_pos: jnp.ndarray, cam_normal: jnp.ndarray,
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("res", "window", "shading"))
+@functools.partial(jax.jit, static_argnames=("res", "window", "shading",
+                                             "big_tris"))
 def render_cano_mesh(tris: jnp.ndarray, attr_tris: jnp.ndarray,
                      valid: jnp.ndarray,
                      front_mvp: jnp.ndarray, front_mv: jnp.ndarray,
                      back_mvp: jnp.ndarray, back_mv: jnp.ndarray,
                      res: int = 512, window: int = 4,
                      shading: str = "attribute",
-                     color_tris: Optional[jnp.ndarray] = None
+                     color_tris: Optional[jnp.ndarray] = None,
+                     big_tris: int = 0
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Front + back orthographic canonical render.
 
@@ -84,12 +86,14 @@ def render_cano_mesh(tris: jnp.ndarray, attr_tris: jnp.ndarray,
             attrs = jnp.concatenate([cam_v, cam_n] +
                                     ([color_tris] if color_tris is not None
                                      else []), axis=-1)
-            out = rasterize(clip, attrs, valid, res, res, window=window)
+            out = rasterize(clip, attrs, valid, res, res, window=window,
+                            big_tri_capacity=big_tris)
             base = out.attrs[..., 6:9] if color_tris is not None else None
             img = phong_shade(out.attrs[..., :3], out.attrs[..., 3:6], base)
             img = jnp.where(out.mask[..., None], img, 1.0)  # white bg
         else:
-            out = rasterize(clip, attr_tris, valid, res, res, window=window)
+            out = rasterize(clip, attr_tris, valid, res, res,
+                            window=window, big_tri_capacity=big_tris)
             img = out.attrs
         return img
 
@@ -100,12 +104,13 @@ def render_cano_mesh(tris: jnp.ndarray, attr_tris: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "window",
-                                             "shading"))
+                                             "shading", "big_tris"))
 def render_mesh_single(tris: jnp.ndarray, attr_tris: jnp.ndarray,
                        valid: jnp.ndarray, mvp: jnp.ndarray,
                        mv: jnp.ndarray, height: int, width: int,
                        window: int = 4, shading: str = "attribute",
-                       color_tris: Optional[jnp.ndarray] = None
+                       color_tris: Optional[jnp.ndarray] = None,
+                       big_tris: int = 0
                        ) -> RasterOutput:
     """One perspective/ortho pass; 'position' passes feed the visibility
     test in normal canonicalization (reference normal_fusion.py:14-19)."""
@@ -118,27 +123,31 @@ def render_mesh_single(tris: jnp.ndarray, attr_tris: jnp.ndarray,
         attrs = jnp.concatenate([cam_v, cam_n] +
                                 ([color_tris] if color_tris is not None
                                  else []), axis=-1)
-        out = rasterize(clip, attrs, valid, height, width, window=window)
+        out = rasterize(clip, attrs, valid, height, width, window=window,
+                        big_tri_capacity=big_tris)
         base = out.attrs[..., 6:9] if color_tris is not None else None
         img = phong_shade(out.attrs[..., :3], out.attrs[..., 3:6], base)
         img = jnp.where(out.mask[..., None], img, 1.0)
-        return RasterOutput(img, out.depth, out.mask)
-    out = rasterize(clip, attr_tris, valid, height, width, window=window)
+        return RasterOutput(img, out.depth, out.mask, out.overflow)
+    out = rasterize(clip, attr_tris, valid, height, width, window=window,
+                    big_tri_capacity=big_tris)
     return out
 
 
 def render_live_mesh(tris, normal_tris, valid, front_mv, back_mv, proj,
                      real2gl, res: int = 512, window: int = 4,
-                     color_tris=None):
+                     color_tris=None, big_tris: int = 0):
     """Perspective front/back phong render
     (reference utils/visualize_util.py:90-126)."""
     fmv = jnp.asarray(real2gl) @ jnp.asarray(front_mv)
     bmv = jnp.asarray(real2gl) @ jnp.asarray(back_mv)
     pj = jnp.asarray(proj)
     front = render_mesh_single(tris, normal_tris, valid, pj @ fmv, fmv,
-                               res, res, window, "phong", color_tris)
+                               res, res, window, "phong", color_tris,
+                               big_tris)
     back = render_mesh_single(tris, normal_tris, valid, pj @ bmv, bmv,
-                              res, res, window, "phong", color_tris)
+                              res, res, window, "phong", color_tris,
+                              big_tris)
     return front.attrs, back.attrs
 
 

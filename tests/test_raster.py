@@ -75,6 +75,90 @@ class TestRasterizeCore:
             np.testing.assert_allclose(got, cols[m[r]], atol=1e-5)
 
 
+class TestBigTrianglesAndOverflow:
+    def test_screen_filling_triangle_exact(self):
+        # one triangle covering the whole image, window far too small
+        tris = np.array([[[-1.0, -1.0, 0.0], [3.0, -1.0, 0.0],
+                          [-1.0, 3.0, 0.0]]], np.float32)
+        attrs = tris[..., :1].copy()
+        ref = rasterize(_clip(tris), jnp.asarray(attrs), jnp.array([True]),
+                        64, 64, window=256)
+        got = rasterize(_clip(tris), jnp.asarray(attrs), jnp.array([True]),
+                        64, 64, window=4, big_tri_capacity=4)
+        assert np.asarray(ref.mask).all()
+        np.testing.assert_array_equal(np.asarray(got.mask),
+                                      np.asarray(ref.mask))
+        np.testing.assert_allclose(np.asarray(got.attrs),
+                                   np.asarray(ref.attrs), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.depth),
+                                   np.asarray(ref.depth), atol=1e-6)
+        assert not bool(got.overflow)
+
+    def test_big_disabled_reports_dropped_coverage(self):
+        tris = np.array([[[-1.0, -1.0, 0.0], [3.0, -1.0, 0.0],
+                          [-1.0, 3.0, 0.0]]], np.float32)
+        out = rasterize(_clip(tris), jnp.ones((1, 3, 1)), jnp.array([True]),
+                        64, 64, window=4)
+        assert bool(out.overflow)          # partial rasterization flagged
+        assert not np.asarray(out.mask).all()  # holes exist
+        ok = rasterize(_clip(tris), jnp.ones((1, 3, 1)), jnp.array([True]),
+                       64, 64, window=256)
+        assert not bool(ok.overflow)
+
+    def test_big_capacity_exceeded_flags(self):
+        # two big triangles, capacity one -> overflow
+        t = np.array([[[-1.0, -1.0, 0.2], [3.0, -1.0, 0.2], [-1.0, 3.0, 0.2]],
+                      [[-1.0, -1.0, 0.1], [3.0, -1.0, 0.1], [-1.0, 3.0, 0.1]]],
+                     np.float32)
+        out = rasterize(_clip(t), jnp.ones((2, 3, 1)),
+                        jnp.array([True, True]), 32, 32, window=4,
+                        big_tri_capacity=1)
+        assert bool(out.overflow)
+        out2 = rasterize(_clip(t), jnp.ones((2, 3, 1)),
+                         jnp.array([True, True]), 32, 32, window=4,
+                         big_tri_capacity=2)
+        assert not bool(out2.overflow)
+        # nearer (z=0.1) wins: it is triangle index 1 -> both same attrs here,
+        # check depth instead
+        d = np.asarray(out2.depth)
+        np.testing.assert_allclose(d[np.asarray(out2.mask)], 0.1, atol=1e-5)
+
+    def test_candidate_overflow_flags(self):
+        # 64 small triangles, tiny candidate capacity -> overflow True
+        rng = np.random.RandomState(0)
+        c = rng.uniform(-0.8, 0.8, (64, 1, 3)).astype(np.float32)
+        c[..., 2] = 0.0
+        offs = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0], [0.0, 0.1, 0.0]],
+                        np.float32)
+        tris = c + offs[None]
+        out = rasterize(_clip(tris), jnp.ones((64, 3, 1)),
+                        jnp.ones(64, bool), 64, 64, window=8,
+                        max_candidates=16)
+        assert bool(out.overflow)
+        out2 = rasterize(_clip(tris), jnp.ones((64, 3, 1)),
+                         jnp.ones(64, bool), 64, 64, window=8,
+                         max_candidates=1 << 14)
+        assert not bool(out2.overflow)
+
+    def test_big_pass_depth_merge_with_small(self):
+        # a big far triangle behind a small near one: the near small one
+        # must win where covered
+        big = [[-1.0, -1.0, 0.8], [3.0, -1.0, 0.8], [-1.0, 3.0, 0.8]]
+        small = [[-0.2, -0.2, -0.5], [0.2, -0.2, -0.5], [-0.2, 0.2, -0.5]]
+        tris = np.array([big, small], np.float32)
+        attrs = np.array([[[1.0]] * 3, [[2.0]] * 3], np.float32)
+        out = rasterize(_clip(tris), jnp.asarray(attrs),
+                        jnp.array([True, True]), 64, 64, window=16,
+                        big_tri_capacity=2)
+        a = np.asarray(out.attrs)[..., 0]
+        m = np.asarray(out.mask)
+        assert m.all()                    # big triangle fills the screen
+        # centre-ish pixel covered by the small tri
+        assert a[33, 30] == 2.0
+        # corner covered only by the big one
+        assert a[60, 2] == 1.0
+
+
 class TestCanoRender:
     def _sphere_mesh(self, res=48, radius=0.6):
         lin = np.linspace(-1, 1, res, dtype=np.float32)

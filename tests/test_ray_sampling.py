@@ -1,0 +1,134 @@
+"""Host ray sampler: golden parity with the reference formulas + contract
+tests for both training and test branches (reference utils/nerf_util.py:
+21-182)."""
+
+import numpy as np
+import cv2 as cv
+import pytest
+
+from avatarcap_tpu.data.ray_sampling import (
+    project, get_bound_2d_mask, sample_rays)
+from avatarcap_tpu.ops.rays import get_rays, get_near_far
+
+
+def _camera(rng):
+    K = np.array([[500, 0, 128], [0, 500, 128], [0, 0, 1]], np.float32)
+    R, _ = cv.Rodrigues(rng.standard_normal(3).astype(np.float32) * 0.3)
+    R = R.astype(np.float32)
+    T = (np.array([[0.05], [0.0], [2.5]])
+         + rng.standard_normal((3, 1)) * 0.1).astype(np.float32)
+    return K, R, T
+
+
+def _reference_rays(H, W, K, R, T):
+    """Straight-line reproduction of reference utils/nerf_util.py:21-35."""
+    rays_o = -np.dot(R.T, T).ravel()
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    xy1 = np.stack([i, j, np.ones_like(i)], axis=2)
+    pixel_camera = np.dot(xy1, np.linalg.inv(K).T)
+    pixel_world = np.dot(pixel_camera - T.ravel(), R)
+    rays_d = pixel_world - rays_o[None, None]
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=2, keepdims=True)
+    return np.broadcast_to(rays_o, rays_d.shape), rays_d
+
+
+def _reference_bound_mask(bounds, K, pose, H, W):
+    """Straight-line reproduction of reference utils/nerf_util.py:38-65."""
+    lo, hi = bounds
+    c3d = np.array([[x, y, z] for x in (lo[0], hi[0])
+                    for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+    c2d = np.round(project(c3d, K, pose)).astype(int)
+    mask = np.zeros((H, W), dtype=np.uint8)
+    for quad in ([0, 1, 3, 2, 0], [4, 5, 7, 6, 4], [0, 1, 5, 4, 0],
+                 [2, 3, 7, 6, 2], [0, 2, 6, 4, 0], [1, 3, 7, 5, 1]):
+        cv.fillPoly(mask, [c2d[quad]], 1)
+    return mask
+
+
+class TestRayGolden:
+    def test_get_rays_matches_reference(self, rng):
+        K, R, T = _camera(rng)
+        ro, rd = get_rays(32, 48, K, R, T, xp=np)
+        ro_ref, rd_ref = _reference_rays(32, 48, K, R, T)
+        np.testing.assert_allclose(ro, ro_ref, atol=1e-6)
+        np.testing.assert_allclose(rd, rd_ref, atol=1e-5)
+
+    def test_bound_mask_matches_reference_exactly(self, rng):
+        for _ in range(5):
+            K, R, T = _camera(rng)
+            pose = np.concatenate([R, T], axis=1)
+            bounds = np.stack([rng.uniform(-0.4, -0.1, 3),
+                               rng.uniform(0.1, 0.4, 3)]).astype(np.float32)
+            got = get_bound_2d_mask(bounds, K, pose, 256, 256)
+            ref = _reference_bound_mask(bounds, K, pose, 256, 256)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_near_far_np_matches_jnp(self, rng):
+        import jax.numpy as jnp
+        bounds = np.array([[-0.3, -0.4, -0.2], [0.3, 0.5, 0.25]], np.float32)
+        ro = rng.uniform(-2, -1.5, (64, 3)).astype(np.float32)
+        rd = rng.standard_normal((64, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+        n1, f1, m1 = get_near_far(bounds, ro, rd, xp=np)
+        n2, f2, m2 = get_near_far(jnp.asarray(bounds), jnp.asarray(ro),
+                                  jnp.asarray(rd))
+        np.testing.assert_array_equal(m1, np.asarray(m2))
+        np.testing.assert_allclose(n1, np.asarray(n2), atol=1e-5)
+        np.testing.assert_allclose(f1, np.asarray(f2), atol=1e-5)
+
+
+def _scene(rng, H=128, W=128):
+    K = np.array([[200, 0, 64], [0, 200, 64], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    T = np.array([[0.0], [0.0], [2.0]], np.float32)
+    bounds = np.array([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]], np.float32)
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    msk = np.zeros((H, W), np.float32)
+    msk[40:90, 45:85] = 1.0
+    return img, msk, K, R, T, bounds
+
+
+class TestSampleRays:
+    def test_training_contract(self, rng):
+        img, msk, K, R, T, bounds = _scene(rng)
+        out = sample_rays(img, msk, K, R, T, bounds, nrays=256,
+                          rng=np.random.RandomState(3))
+        assert out["rgb"].shape == (256, 3)
+        assert out["ray_o"].shape == (256, 3)
+        assert out["near"].shape == (256,)
+        # every ray intersects the padded box
+        assert (out["far"] > out["near"]).all()
+        _, _, hit = get_near_far(bounds, out["ray_o"], out["ray_d"], xp=np)
+        assert hit.all()
+        # first 80% are body pixels
+        n_body = int(256 * 0.8)
+        assert (out["body_mask"][:n_body] == 1).all()
+        # rgb agrees with the (bound-masked) image at the sampled coords
+        c = out["coord"]
+        np.testing.assert_allclose(out["rgb"], img[c[:, 0], c[:, 1]],
+                                   atol=1e-6)
+        # deterministic under a fixed RandomState
+        out2 = sample_rays(img, msk, K, R, T, bounds, nrays=256,
+                           rng=np.random.RandomState(3))
+        np.testing.assert_array_equal(out["coord"], out2["coord"])
+
+    def test_test_mode_lengths_consistent(self, rng):
+        """The reference's test branch has a latent rgb-vs-near length
+        mismatch (utils/nerf_util.py:167-181); ours filters every output by
+        the same mask — assert that, and that rays cover the body box."""
+        img, msk, K, R, T, bounds = _scene(rng)
+        out = sample_rays(img, msk, K, R, T, bounds, nrays=0,
+                          training=False)
+        n = out["rgb"].shape[0]
+        assert n > 0
+        for k in ("body_mask", "ray_o", "ray_d", "near", "far", "coord"):
+            assert out[k].shape[0] == n, k
+        assert (out["body_mask"] == 1).all()
+        assert (out["far"] > out["near"]).all()
+        # coords enumerate exactly the body&box pixels (row-major order)
+        c = out["coord"]
+        assert (msk[c[:, 0], c[:, 1]] > 0).all()
+        # rgb matches the image at those pixels
+        np.testing.assert_allclose(out["rgb"], img[c[:, 0], c[:, 1]],
+                                   atol=1e-6)

@@ -68,3 +68,26 @@ def test_streaming_geometry_batch():
         assert int(r["cano_mesh"].num_tris) == nt0
     lv = np.asarray(results[0]["live_mesh"].vertices)
     assert np.isfinite(lv).all()
+
+    # non-identity pose: live normals must be the cano normals rotated by
+    # the per-point skinning rotation (reference utils/smpl_util.py:69-81),
+    # not the raw canonical normals.
+    ang = 0.7
+    R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                  [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] = R
+    rot_items = [{"smpl_pos_map": pos_map,
+                  "cano2live_jnt_mats": np.tile(M, (24, 1, 1))}]
+    rres = stream.run(rot_items)[0]
+    cm, lm = rres["cano_mesh"], rres["live_mesh"]
+    nt = int(cm.num_tris)
+    assert nt > 0
+    cn = np.asarray(cm.normals)[: 3 * nt]
+    ln = np.asarray(lm.normals)[: 3 * nt]
+    # every joint shares the same rigid transform -> exact rotation
+    np.testing.assert_allclose(ln, cn @ R.T, atol=1e-4)
+    assert not np.allclose(ln, cn, atol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(ln, axis=-1),
+                               np.linalg.norm(cn, axis=-1), atol=1e-4)
