@@ -243,13 +243,19 @@ class AvatarCapture:
                       w_nerf: bool = False,
                       inferred_normal: Optional[np.ndarray] = None,
                       neck_vertex_idx: Optional[int] = None,
-                      camera: Optional[Dict[str, float]] = None
-                      ) -> Dict[str, Any]:
+                      camera: Optional[Dict[str, float]] = None,
+                      timer=None) -> Dict[str, Any]:
         """Run the capture stages for one dataset item (test mode).
 
         Returns a dict with canonical/live avatar meshes, renders, fused
         normals, and (if w_recon) the final reconstructed live mesh.
+
+        Args:
+          timer: optional ``utils.timers.StageTimer``; when given, each
+            stage is force-synced and its wall seconds recorded (the
+            reference has no stage attribution at all, SURVEY §5).
         """
+        from avatarcap_tpu.utils.timers import StageTimer
         o = self.opt
         frame = FrameInputs(
             live_smpl_v=jnp.asarray(item["live_smpl_v"])[None],
@@ -257,11 +263,20 @@ class AvatarCapture:
             smpl_pos_map=jnp.asarray(item["smpl_pos_map"])[None])
 
         # Stage 1: avatar geometry
-        cano_mesh, feat = self._avatar_geometry(self.avatar_vars, frame)
-        front_avatar_n, back_avatar_n = self._cano_render(cano_mesh)
-        cano_phong = self._cano_render(cano_mesh, shading="phong")
-        live_mesh, pt_mats = self._skinning(
-            cano_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+        with StageTimer.maybe(timer, "1_grid_query_mc"):
+            cano_mesh, feat = self._avatar_geometry(self.avatar_vars, frame)
+            if timer:
+                timer.observe((cano_mesh, feat))
+        with StageTimer.maybe(timer, "1_cano_renders"):
+            front_avatar_n, back_avatar_n = self._cano_render(cano_mesh)
+            cano_phong = self._cano_render(cano_mesh, shading="phong")
+            if timer:
+                timer.observe((front_avatar_n, back_avatar_n, cano_phong))
+        with StageTimer.maybe(timer, "1_skinning"):
+            live_mesh, pt_mats = self._skinning(
+                cano_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+            if timer:
+                timer.observe((live_mesh, pt_mats))
 
         results = {
             "cano_mesh": cano_mesh,
@@ -280,39 +295,51 @@ class AvatarCapture:
                                                     img_w, img_h,
                                                     gl_space=False)
             # Stage 2: normal fusion
-            front_img_n, back_img_n = canonicalize_normal_map(
-                cano_mesh.vertices.reshape(-1, 3, 3),
-                live_mesh.vertices.reshape(-1, 3, 3),
-                cano_mesh.valid, jnp.asarray(inferred_normal),
-                pt_mats.reshape(-1, 3, 4, 4),
-                jnp.asarray(item["w2c_RT"]), jnp.asarray(proj),
-                jnp.asarray(self._fmvp), jnp.asarray(self._fmv),
-                jnp.asarray(self._bmvp), jnp.asarray(self._bmv),
-                fx, fy, cx, cy, img_h, img_w, res=o.render_res,
-                window=o.raster_window)
+            with StageTimer.maybe(timer, "2_canonicalize_normals"):
+                front_img_n, back_img_n = canonicalize_normal_map(
+                    cano_mesh.vertices.reshape(-1, 3, 3),
+                    live_mesh.vertices.reshape(-1, 3, 3),
+                    cano_mesh.valid, jnp.asarray(inferred_normal),
+                    pt_mats.reshape(-1, 3, 4, 4),
+                    jnp.asarray(item["w2c_RT"]), jnp.asarray(proj),
+                    jnp.asarray(self._fmvp), jnp.asarray(self._fmv),
+                    jnp.asarray(self._bmvp), jnp.asarray(self._bmv),
+                    fx, fy, cx, cy, img_h, img_w, res=o.render_res,
+                    window=o.raster_window)
+                if timer:
+                    timer.observe((front_img_n, back_img_n))
 
-            if o.integrate_manner == "merge":
-                # neck position on the canonical image (reference :420-422)
-                neck_v = np.asarray(
-                    self.statics.cano_smpl_vertices[neck_vertex_idx]) \
-                    - np.asarray(self.statics.cano_smpl_center)
-                neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
-                neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
-                    % o.render_res
-                front_merged = merge_normal_images(
-                    front_avatar_n, front_img_n,
-                    jnp.asarray([neck_x, neck_y], jnp.int32),
-                    iter_num=o.fusion_iters)
-            else:
-                front_merged = merge_normal_images_cover(front_avatar_n,
-                                                         front_img_n)
-            back_merged = back_avatar_n  # reference main.py:430
+            with StageTimer.maybe(timer, "2_merge_normals"):
+                if o.integrate_manner == "merge":
+                    # neck position on the canonical image (ref :420-422)
+                    neck_v = np.asarray(
+                        self.statics.cano_smpl_vertices[neck_vertex_idx]) \
+                        - np.asarray(self.statics.cano_smpl_center)
+                    neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
+                    neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
+                        % o.render_res
+                    front_merged = merge_normal_images(
+                        front_avatar_n, front_img_n,
+                        jnp.asarray([neck_x, neck_y], jnp.int32),
+                        iter_num=o.fusion_iters)
+                else:
+                    front_merged = merge_normal_images_cover(front_avatar_n,
+                                                             front_img_n)
+                back_merged = back_avatar_n  # reference main.py:430
+                if timer:
+                    timer.observe(front_merged)
 
             # Stage 3: ReconNet
-            recon_mesh = self._recon_stage(self.recon_vars, front_merged,
-                                           back_merged)
-            live_recon, _ = self._skinning(
-                recon_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+            with StageTimer.maybe(timer, "3_recon_query_mc"):
+                recon_mesh = self._recon_stage(self.recon_vars, front_merged,
+                                               back_merged)
+                if timer:
+                    timer.observe(recon_mesh)
+            with StageTimer.maybe(timer, "3_recon_skinning"):
+                live_recon, _ = self._skinning(
+                    recon_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+                if timer:
+                    timer.observe(live_recon)
             results.update({
                 "front_merged_normal": front_merged,
                 "front_image_normal": front_img_n,
@@ -321,13 +348,17 @@ class AvatarCapture:
             })
 
         if w_nerf:
-            colors = self._nerf_color(self.avatar_tex_vars, feat, frame,
-                                      cano_mesh)
-            results["avatar_colors"] = colors[..., ::-1]  # bgr->rgb (ref :477)
-            if w_recon:
-                results["recon_colors"] = self._color_transfer(
-                    results["recon_mesh"].vertices, cano_mesh.vertices,
-                    results["avatar_colors"])
+            with StageTimer.maybe(timer, "4_nerf_colors"):
+                colors = self._nerf_color(self.avatar_tex_vars, feat, frame,
+                                          cano_mesh)
+                # bgr->rgb (ref :477)
+                results["avatar_colors"] = colors[..., ::-1]
+                if w_recon:
+                    results["recon_colors"] = self._color_transfer(
+                        results["recon_mesh"].vertices, cano_mesh.vertices,
+                        results["avatar_colors"])
+                if timer:
+                    timer.observe(results["avatar_colors"])
 
         return results
 

@@ -1,0 +1,192 @@
+"""Full-size benchmark workloads (BASELINE.md configs #1-#5).
+
+Builds the capture/training environments at the REFERENCE workload sizes
+(vol_res 384x384x128 ~= 18.9 M grid pts, 512^2 renders and normal maps,
+100 fusion Adam iterations, 1024 rays x 64 samples, 5312 geometry pts per
+item — BASELINE.md "Reference workload parameters") on the toy body so no
+licensed SMPL data is needed. The toy body is densified to ~6,752 vertices
+to match real SMPL's 6,890 (KNN cost scales with vertex count).
+
+Shared by tools/profile_frame.py (per-stage breakdown) and bench.py
+(driver-run metrics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def toy_avatar_statics(dense: bool = True):
+    """Toy body + AvatarStatics at benchmark fidelity.
+
+    Returns (params, statics, cano_vertices_np).
+    """
+    import jax.numpy as jnp
+    from avatarcap_tpu.utils.toy_body import make_toy_smpl_params
+    from avatarcap_tpu.body.smpl import smpl_forward, canonical_pose
+    from avatarcap_tpu.pipeline.avatar import AvatarStatics
+
+    kw = dict(n_lat=77, n_lon=90) if dense else {}
+    params = make_toy_smpl_params(**kw)
+    shape = np.zeros(10, np.float32)
+    cano = smpl_forward(params, jnp.asarray(canonical_pose()),
+                        jnp.asarray(shape))
+    v = np.asarray(cano.vertices)
+    # cano bounds: AABB + 5 cm xy / 15 cm z (reference
+    # dataset/avatarcap_dataset.py:89-97)
+    lo = v.min(0) - np.array([0.05, 0.05, 0.15], np.float32)
+    hi = v.max(0) + np.array([0.05, 0.05, 0.15], np.float32)
+    # weight volume at 2.5 cm voxels like the real one (reference
+    # gen_data/preprocess_training_data.py:426-463); uniform root weights
+    # are fine for throughput work
+    res_w = np.maximum(((hi - lo) / 0.025).astype(np.int32), 2)
+    wv = np.zeros(tuple(res_w) + (params.num_joints,), np.float32)
+    wv[..., 0] = 1.0
+    statics = AvatarStatics(
+        weight_volume=jnp.asarray(wv),
+        cano_smpl_vertices=cano.vertices,
+        smpl_skinning_weights=jnp.asarray(params.weights),
+        cano_bounds=jnp.asarray(np.stack([lo, hi])),
+        cano_smpl_center=jnp.asarray(0.5 * (lo + hi)))
+    return params, statics, v
+
+
+def build_capture_grid(statics, cano_v: np.ndarray,
+                       vol_res: Tuple[int, int, int] = (384, 384, 128),
+                       pad_to: int = 65536):
+    """Near-SMPL compacted grid at full capture resolution.
+
+    Inside prior for far points uses a radial star-shape test against the
+    nearest body vertex — exact `points_inside_mesh` is only needed for
+    correctness runs, not throughput (the prior covers points >10 cm from
+    the surface either way).
+    """
+    import jax.numpy as jnp
+    from avatarcap_tpu.ops.knn import knn
+    from avatarcap_tpu.pipeline.capture import CaptureGrid
+
+    lo = np.asarray(statics.cano_bounds[0])
+    hi = np.asarray(statics.cano_bounds[1])
+    lin = [np.linspace(0, 1, r, dtype=np.float32) for r in vol_res]
+    g = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+    pts = (g * (hi - lo) + lo).astype(np.float32)
+    d2, idx1 = knn(jnp.asarray(pts), statics.cano_smpl_vertices, k=1)
+    d2 = np.asarray(d2[:, 0])
+    nn_v = cano_v[np.asarray(idx1[:, 0])]
+    valid_flag = d2 < 0.1 ** 2
+    center = np.asarray(statics.cano_smpl_center)
+    inside = (np.linalg.norm(pts - center, axis=-1)
+              < np.linalg.norm(nn_v - center, axis=-1))
+    prior = np.where(valid_flag, 0.0,
+                     2.0 * inside.astype(np.float32) - 1.0)
+    idx = np.where(valid_flag)[0].astype(np.int32)
+    pad = (-len(idx)) % pad_to
+    valid_idx = np.pad(idx, (0, pad), constant_values=len(pts))
+    valid_pts = np.concatenate([pts[idx], np.zeros((pad, 3), np.float32)])
+    grid = CaptureGrid(jnp.asarray(valid_pts), jnp.asarray(valid_idx),
+                       jnp.asarray(prior.astype(np.float32)),
+                       tuple(vol_res))
+    return grid, len(idx)
+
+
+def build_capture_env(vol_res=(384, 384, 128), render_res=512,
+                      fusion_iters=100, max_tris=1 << 20,
+                      max_active=1 << 18, pos_map_res=256,
+                      use_fused_query=None, dense: bool = True):
+    """Full-size AvatarCapture + one frame item (BASELINE config #4).
+
+    Returns dict(capture, item, cam, inferred_normal, n_valid, params,
+    statics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.models.recon import ReconNetwork
+    from avatarcap_tpu.pipeline.capture import AvatarCapture, CaptureOptions
+
+    params, statics, v = toy_avatar_statics(dense=dense)
+    grid, n_valid = build_capture_grid(statics, v, vol_res)
+
+    module = GeoTexAvatar(if_type="sdf")
+    pos_map = jnp.zeros((1, pos_map_res, pos_map_res, 6))
+    avatar_vars = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), pos_map,
+        statics.cano_smpl_center[None])
+    recon = ReconNetwork()
+    recon_vars = jax.jit(recon.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, render_res, render_res, 6)),
+        jnp.zeros((1, 8, 3)), jnp.zeros((1, 3)))
+
+    opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
+                          render_res=render_res, fusion_iters=fusion_iters)
+    if use_fused_query is not None:
+        import dataclasses
+        opts = dataclasses.replace(opts, use_fused_query=use_fused_query)
+    capture = AvatarCapture(module, avatar_vars, statics, grid,
+                            recon=recon, recon_vars=recon_vars,
+                            options=opts)
+
+    rng = np.random.RandomState(0)
+    item = {
+        "live_smpl_v": v.astype(np.float32),
+        "cano2live_jnt_mats": np.tile(np.eye(4, dtype=np.float32),
+                                      (params.num_joints, 1, 1)),
+        "smpl_pos_map": rng.standard_normal(
+            (pos_map_res, pos_map_res, 6)).astype(np.float32) * 0.1,
+        "w2c_RT": np.eye(4, dtype=np.float32),
+    }
+    item["w2c_RT"][2, 3] = 2.0  # camera 2 m in front, looking +z
+    cam = {"fx": 5000.0, "fy": 5000.0, "cx": 256.0, "cy": 256.0}
+    inferred_normal = np.zeros((512, 512, 3), np.float32)
+    inferred_normal[128:384, 128:384] = [0.0, 0.0, -1.0]
+    return {"capture": capture, "item": item, "cam": cam,
+            "inferred_normal": inferred_normal, "n_valid": n_valid,
+            "params": params, "statics": statics}
+
+
+def build_train_env(batch_size=4, n_rays=1024, n_samples=64,
+                    n_surf=5000, n_vol=312, pos_map_res=256,
+                    dense: bool = True):
+    """Training-step workload (BASELINE config #2): reference per-item
+    loads from BASELINE.md (1024 rays x 64 samples, 5000+312 geometry pts,
+    batch 4)."""
+    import jax
+    import jax.numpy as jnp
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.train.trainer import AvatarTrainer
+
+    params, statics, v = toy_avatar_statics(dense=dense)
+    module = GeoTexAvatar(if_type="sdf")
+    pos_map = jnp.zeros((1, pos_map_res, pos_map_res, 6))
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), pos_map,
+        statics.cano_smpl_center[None])
+
+    B, R, NPTS = batch_size, n_rays, n_surf + n_vol
+    rng = np.random.RandomState(0)
+    center = np.asarray(statics.cano_smpl_center)
+    batch = {
+        "live_smpl_v": np.tile(v[None], (B, 1, 1)).astype(np.float32),
+        "cano2live_jnt_mats": np.tile(np.eye(4, dtype=np.float32),
+                                      (B, params.num_joints, 1, 1)),
+        "smpl_pos_map": rng.standard_normal(
+            (B, pos_map_res, pos_map_res, 6)).astype(np.float32) * 0.1,
+        "cano_pts": (center + rng.uniform(
+            -0.3, 0.3, (B, NPTS, 3))).astype(np.float32),
+        "cano_pts_ov": rng.uniform(-0.1, 0.1, (B, NPTS)).astype(np.float32),
+        "rgb": rng.uniform(0, 1, (B, R, 3)).astype(np.float32),
+        "ray_o": np.tile((center + [0, 0, -2.0]).astype(np.float32),
+                         (B, R, 1)),
+        "ray_d": np.tile(np.array([0, 0, 1], np.float32), (B, R, 1)),
+        "near": np.full((B, R), 1.5, np.float32),
+        "far": np.full((B, R), 2.5, np.float32),
+        "depth": np.zeros((B, R), np.float32),
+    }
+    trainer = AvatarTrainer(module=module, statics=statics,
+                            net_ckpt_dir="/tmp/bench_ckpt",
+                            n_samples=n_samples)
+    state = trainer.init_state(variables)
+    return {"trainer": trainer, "state": state, "batch": batch,
+            "statics": statics}

@@ -93,6 +93,86 @@ def compute_weight_volume(smpl_params: SmplParams, shape: np.ndarray,
     return w.reshape(X, Y, Z, -1).astype(np.float32)
 
 
+def orbit_extrinsics(center: np.ndarray, view_idx: int, n_views: int,
+                     dist: float = 2.3) -> np.ndarray:
+    """Orbit-view extrinsic: trans_center -> rot_y -> rot_x(pi) -> trans_z
+    (reference gen_data/preprocess_training_data.py:327-351)."""
+    ang = 2 * math.pi * view_idx / n_views
+    rot_y = np.eye(4, dtype=np.float32)
+    rot_y[:3, :3] = np.asarray(axis_angle_to_matrix(
+        jnp.asarray([0.0, ang, 0.0])))
+    rot_x = np.eye(4, dtype=np.float32)
+    rot_x[:3, :3] = np.asarray(axis_angle_to_matrix(
+        jnp.asarray([math.pi, 0.0, 0.0])))
+    tc = np.eye(4, dtype=np.float32)
+    tc[:3, 3] = -np.asarray(center, np.float32)
+    tz = np.eye(4, dtype=np.float32)
+    tz[2, 3] = dist
+    return tz @ rot_x @ rot_y @ tc
+
+
+def render_textured_orbit_views(verts: np.ndarray, faces: np.ndarray,
+                                colors: np.ndarray, img_dir: str,
+                                cam: dict, n_views: int = 60,
+                                dist: float = 2.3, window: int = 8):
+    """Orbit color/depth/mask views of a TEXTURED scan + cams.mat
+    (reference gen_data/preprocess_training_data.py:314-379).
+
+    These JPEGs are the avatar's entire RGB/NeRF supervision for real
+    scan subjects; the color pass interpolates raw vertex colors (the
+    reference's 'vertex_attribute' GLSL program), the position pass gives
+    the mask and camera-space depth in millimeter uint16.
+
+    Args:
+      verts: (V, 3) scan vertices (live space, like the reference).
+      faces: (F, 3) int.
+      colors: (V, 3) float RGB in [0, 1] (uint8 inputs are rescaled).
+    """
+    import scipy.io as sio
+
+    os.makedirs(img_dir, exist_ok=True)
+    colors = np.asarray(colors, np.float32)
+    if colors.max() > 1.1:  # uint8-style colors (reference :336-338)
+        colors = colors / 255.0
+    img_w, img_h = int(cam["img_width"]), int(cam["img_height"])
+    proj = gl_perspective_projection_matrix(
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"], img_w, img_h)
+    center = 0.5 * (verts.max(0) + verts.min(0))
+    tris = jnp.asarray(verts[faces])
+    color_tris = jnp.asarray(colors[faces])
+    valid = jnp.ones((len(faces),), bool)
+
+    cam_rs, cam_ts = [], []
+    for view_idx in range(n_views):
+        extr = orbit_extrinsics(center, view_idx, n_views, dist)
+        mvp = jnp.asarray(proj @ extr)
+        # color: interpolated vertex colors, black background
+        out = render_mesh_single(tris, color_tris, valid, mvp,
+                                 jnp.asarray(extr), img_h, img_w,
+                                 window=window)
+        img = np.where(np.asarray(out.mask)[..., None],
+                       np.asarray(out.attrs), 0.0)
+        cv.imwrite(os.path.join(img_dir, f"color_view_{view_idx:03d}.jpg"),
+                   (255 * np.clip(img[..., ::-1], 0, 1)).astype(np.uint8))
+        # mask + camera-space depth from the position pass (reference
+        # :362-370: model-space positions -> extr -> z in mm)
+        pos = render_mesh_single(tris, tris, valid, mvp,
+                                 jnp.asarray(extr), img_h, img_w,
+                                 window=window)
+        mask = np.asarray(pos.mask)
+        cv.imwrite(os.path.join(img_dir, f"mask_view_{view_idx:03d}.png"),
+                   (255 * mask).astype(np.uint8))
+        world = np.asarray(pos.attrs)
+        camz = (world @ extr[:3, :3].T + extr[:3, 3])[..., 2]
+        camz = np.where(mask, camz, 0.0)
+        cv.imwrite(os.path.join(img_dir, f"depth_view_{view_idx:03d}.png"),
+                   (1000 * camz).astype(np.uint16))
+        cam_rs.append(cv.Rodrigues(extr[:3, :3])[0][:, 0])
+        cam_ts.append(extr[:3, 3])
+    sio.savemat(os.path.join(img_dir, "cams.mat"),
+                {"cam_rs": np.stack(cam_rs), "cam_ts": np.stack(cam_ts)})
+
+
 def generate_subject(out_dir: str, smpl_params: SmplParams,
                      shape: np.ndarray, poses: np.ndarray,
                      n_views: int = 4, img_size: int = 128,

@@ -434,7 +434,8 @@ def preprocess_training_data(data_dir: str, smpl_params: SmplParams,
     import yaml
     from avatarcap_tpu.data.mesh_io import load_ply
     from avatarcap_tpu.tools.gen_synthetic import (
-        render_smpl_position_map, compute_weight_volume)
+        render_smpl_position_map, compute_weight_volume,
+        render_textured_orbit_views)
     from avatarcap_tpu.data.image_io import save_float_image
 
     shape = np.loadtxt(os.path.join(data_dir, "smpl/shape.txt")) \
@@ -447,11 +448,17 @@ def preprocess_training_data(data_dir: str, smpl_params: SmplParams,
     np.save(os.path.join(data_dir, "cano_base_blend_weight_volume.npy"),
             compute_weight_volume(smpl_params, shape))
 
+    # reference camera: fx=fy=550, 512^2
+    # (gen_data/preprocess_training_data.py:488-496)
+    cam = {"fx": 550.0 * img_size / 512.0, "fy": 550.0 * img_size / 512.0,
+           "cx": img_size / 2.0, "cy": img_size / 2.0,
+           "img_width": img_size, "img_height": img_size}
+
     for scan_path, pose_path in zip(scan_paths, pose_paths):
         idx = int(os.path.splitext(os.path.basename(pose_path))[0]
                   .replace("pose_", ""))
         pose = np.loadtxt(pose_path).astype(np.float32)
-        verts, faces, normals, _ = load_ply(scan_path)
+        verts, faces, normals, colors = load_ply(scan_path)
         if normals is None:
             normals = vertex_normals(verts, faces)
         wt_verts, nt, ori_flag = canonicalize_and_reconstruct(
@@ -463,17 +470,26 @@ def preprocess_training_data(data_dir: str, smpl_params: SmplParams,
         np.savez(os.path.join(data_dir, f"cano_pts_ov/{idx:03d}.npz"),
                  sur_pts=sur, sur_pts_ov=sur_ov, vol_pts=vol,
                  vol_pts_ov=vol_ov)
+
+        # orbit color/depth/mask views of the TEXTURED live scan — the
+        # avatar's RGB supervision (reference
+        # gen_data/preprocess_training_data.py:314-379,520-527)
+        if colors is None:
+            # untextured scan: mid-gray so training still gets valid rgb
+            colors = np.full_like(verts, 0.5, dtype=np.float32)
+        render_textured_orbit_views(
+            verts, faces, colors,
+            os.path.join(data_dir, f"imgs/{idx:03d}"), cam,
+            n_views=n_views)
+
         pm = render_smpl_position_map(smpl_params, pose, shape,
                                       res=pos_map_res)
         save_float_image(os.path.join(
             data_dir, f"smpl/smpl_pos_map_{idx:04d}_cano"), pm)
 
-    cam = {"fx": 2 * float(img_size), "fy": 2 * float(img_size),
-           "cx": img_size / 2.0, "cy": img_size / 2.0,
-           "img_width": img_size, "img_height": img_size}
     with open(os.path.join(data_dir, "dataConfig.yaml"), "w") as f:
-        yaml.safe_dump({"data_type": "synthetic", "camera": cam,
-                        "pos_map_name": "cano",
+        yaml.safe_dump({"data_type": "synthetic", "view_num": n_views,
+                        "camera": cam, "pos_map_name": "cano",
                         "pos_map_res": pos_map_res}, f)
 
 

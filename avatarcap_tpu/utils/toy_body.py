@@ -38,16 +38,19 @@ def uv_sphere(n_lat=9, n_lon=12, radius=1.0):
 
 
 def make_toy_smpl_params(num_vertices=None, num_joints=24, num_shapes=10,
-                         seed=0):
+                         seed=0, n_lat=10, n_lon=12):
     """A structurally-valid fake body model for tests (no licensed data).
 
     The template is a closed capsule-ish UV-sphere (so inside tests,
     normals, and rendering are geometrically meaningful); joints sit along
     the body axis; skinning weights are Gaussian in joint distance.
+
+    n_lat/n_lon size the sphere; benchmarks use (77, 90) -> 6,752 verts to
+    match real SMPL's 6,890 (KNN cost is proportional to vertex count).
     """
     from avatarcap_tpu.body.smpl import SmplParams
     rs = np.random.RandomState(seed)
-    v_template, faces = uv_sphere(n_lat=10, n_lon=12)
+    v_template, faces = uv_sphere(n_lat=n_lat, n_lon=n_lon)
     v_template[:, 1] *= 0.8          # squash to a blob
     v_template *= 0.35               # ~70 cm body
     num_vertices = v_template.shape[0]
