@@ -40,3 +40,94 @@ def skin_normals(normals: jnp.ndarray, lbs: jnp.ndarray,
     pt_mats = blend_joint_mats(lbs, jnt_mats)
     return jnp.einsum("...nxy,...ny->...nx", pt_mats[..., :3, :3], normals,
                       precision="highest")
+
+
+# ---------------------------------------------------------------------------
+# Volume-accelerated KNN-Gaussian LBS (capture fast path)
+# ---------------------------------------------------------------------------
+#
+# The reference skins every captured mesh vertex with K=4 Gaussian-weighted
+# KNN blend weights against 6,890 SMPL vertices (utils/smpl_util.py:24-39,
+# called per frame at main.py:383-394). At 3M soup vertices that KNN is a
+# 3M x 6890 distance problem per frame (~700 ms on v5e). The weight field
+# is smooth on the Gaussian's 5 cm scale, so we evaluate it ONCE per
+# subject on a ~1 cm canonical grid and, per frame, blend joint matrices
+# on the grid (a tiny (G, J) @ (J, 16) matmul) and trilinearly sample the
+# resulting 16-channel matrix field at the vertices — trilinear
+# interpolation commutes with the linear blend, so this equals skinning
+# with trilinearly interpolated KNN weights (≤ ~1 mm vertex deviation at
+# 1 cm voxels; tests/test_capture.py pins the tolerance). The exact KNN
+# path stays available via CaptureOptions(skinning_mode="knn").
+
+def build_skin_weight_volume(cano_smpl_vertices: jnp.ndarray,
+                             skinning_weights: jnp.ndarray,
+                             bounds: jnp.ndarray, voxel: float = 0.01,
+                             k: int = 4, radius: float = 0.05):
+    """Per-subject KNN-Gaussian LBS weights on a regular canonical grid.
+
+    Returns (weights (Gx, Gy, Gz, J), bounds (2, 3) as given).
+    """
+    import numpy as np
+    from avatarcap_tpu.ops.knn import approx_lbs_weights
+
+    lo = np.asarray(bounds[0])
+    hi = np.asarray(bounds[1])
+    res = np.maximum(np.ceil((hi - lo) / voxel).astype(np.int32) + 1, 2)
+    lin = [jnp.linspace(0.0, 1.0, int(r)) for r in res]
+    g = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+    pts = g * (jnp.asarray(hi) - jnp.asarray(lo)) + jnp.asarray(lo)
+    w = approx_lbs_weights(pts, cano_smpl_vertices, skinning_weights,
+                           k=k, radius=radius)
+    return w.reshape(tuple(int(r) for r in res) + (w.shape[-1],))
+
+
+def _trilerp_rows(vol: jnp.ndarray, pts01: jnp.ndarray) -> jnp.ndarray:
+    """Channel-LAST trilinear sampling: (Gx, Gy, Gz, C) at (N, 3) in [0, 1]
+    (border clamp, node-aligned like align_corners=True). Row-contiguous
+    corner gathers — the channel-major grid_sample_3d layout scatters the
+    channels of one sample across memory and is several times slower at
+    millions of points."""
+    Gx, Gy, Gz, C = vol.shape
+    vol_flat = vol.reshape(-1, C)
+    f = pts01 * jnp.asarray([Gx - 1, Gy - 1, Gz - 1], pts01.dtype)
+    f = jnp.clip(f, 0.0, jnp.asarray([Gx - 1, Gy - 1, Gz - 1], f.dtype))
+    i0 = jnp.floor(f).astype(jnp.int32)
+    i0 = jnp.minimum(i0, jnp.asarray([Gx - 2, Gy - 2, Gz - 2]))
+    t = f - i0.astype(f.dtype)                        # (N, 3)
+    base = (i0[:, 0] * Gy + i0[:, 1]) * Gz + i0[:, 2]
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, t[:, 0], 1 - t[:, 0])
+                     * jnp.where(dy, t[:, 1], 1 - t[:, 1])
+                     * jnp.where(dz, t[:, 2], 1 - t[:, 2]))
+                idx = base + (dx * Gy + dy) * Gz + dz
+                out = out + vol_flat[idx] * w[:, None]
+    return out
+
+
+def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
+                          bounds: jnp.ndarray, jnt_mats: jnp.ndarray,
+                          return_pt_mats: bool = False):
+    """Forward-skin points with the per-subject weight volume.
+
+    Args:
+      points: (N, 3) canonical points.
+      weight_volume: (Gx, Gy, Gz, J) from build_skin_weight_volume.
+      bounds: (2, 3) the volume's world extents.
+      jnt_mats: (J, 4, 4) cano->live joint transforms.
+    """
+    G = weight_volume.shape
+    # blend matrices on the grid: trilinear commutes with the blend
+    mat_field = jnp.einsum("gj,jc->gc",
+                           weight_volume.reshape(-1, G[-1]),
+                           jnt_mats.reshape(G[-1], 16),
+                           precision="highest").reshape(G[:3] + (16,))
+    pts01 = (points - bounds[0]) / (bounds[1] - bounds[0])
+    pt_mats = _trilerp_rows(mat_field, pts01).reshape(-1, 4, 4)
+    out = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3], points,
+                      precision="highest") + pt_mats[:, :3, 3])
+    if return_pt_mats:
+        return out, pt_mats
+    return out

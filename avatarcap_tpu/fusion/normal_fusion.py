@@ -27,36 +27,24 @@ from avatarcap_tpu.render.raster import rasterize
 from avatarcap_tpu.render.visualize import render_cano_mesh
 
 
-@functools.partial(jax.jit, static_argnames=("img_h", "img_w", "res",
-                                             "window"))
-def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
-                            valid_tris: jnp.ndarray,
-                            normal_map: jnp.ndarray,
-                            vert_mats: jnp.ndarray,
-                            mv: jnp.ndarray, proj: jnp.ndarray,
-                            front_mvp: jnp.ndarray, front_mv: jnp.ndarray,
-                            back_mvp: jnp.ndarray, back_mv: jnp.ndarray,
-                            fx: float, fy: float, cx: float, cy: float,
-                            img_h: int, img_w: int,
-                            res: int = 512, window: int = 4
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Lift image-space normals onto the canonical mesh and re-render.
+@functools.partial(jax.jit, static_argnames=("img_h", "img_w", "window"))
+def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
+                       normal_map: jnp.ndarray, vert_mats: jnp.ndarray,
+                       mv: jnp.ndarray, proj: jnp.ndarray,
+                       fx: float, fy: float, cx: float, cy: float,
+                       img_h: int, img_w: int, window: int = 4
+                       ) -> jnp.ndarray:
+    """Image-space normals -> per-soup-vertex canonical normals
+    (steps 1-3 of reference normal_fusion.py:12-60):
 
-    Matches reference normal_fusion.py:12-63:
     1. rasterize live mesh world positions from the camera;
     2. a vertex is visible iff its projected position-buffer sample is
        within 5 cm of itself;
     3. sample the inferred normal map at the vertex projection, flip y/z,
-       rotate by inv(view) then per-vertex inv(skinning) rotations;
-    4. render the canonical mesh front/back with these normals as colors.
+       rotate by inv(view) then per-vertex inv(skinning) rotations.
 
-    Args:
-      cano_tris/live_tris: (T, 3, 3) corresponding triangle soups.
-      valid_tris: (T,).
-      normal_map: (img_h, img_w, 3) image-space normals (camera convention).
-      vert_mats: (T, 3, 4, 4) per-soup-vertex skinning mats (cano->live).
-      mv: (4, 4) world->camera; proj: (4, 4) perspective (gl_space=False).
-      front_/back_*: canonical ortho matrices (camera.cano_front_back_mvp).
+    Returns (T, 3, 3) canonical-space normals (0 where invisible/invalid),
+    ready to render with the canonical mesh's index passes.
     """
     T = live_tris.shape[0]
     verts = live_tris.reshape(-1, 3)                      # (3T, 3)
@@ -95,9 +83,39 @@ def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
     proj_n = jnp.einsum("nij,nj->ni", inv_vert_r, proj_n,
                         precision="highest")
     proj_n = jnp.where(valid[:, None], proj_n, 0.0)
+    return proj_n.reshape(T, 3, 3)
 
+
+@functools.partial(jax.jit, static_argnames=("img_h", "img_w", "res",
+                                             "window"))
+def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
+                            valid_tris: jnp.ndarray,
+                            normal_map: jnp.ndarray,
+                            vert_mats: jnp.ndarray,
+                            mv: jnp.ndarray, proj: jnp.ndarray,
+                            front_mvp: jnp.ndarray, front_mv: jnp.ndarray,
+                            back_mvp: jnp.ndarray, back_mv: jnp.ndarray,
+                            fx: float, fy: float, cx: float, cy: float,
+                            img_h: int, img_w: int,
+                            res: int = 512, window: int = 4
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lift image-space normals onto the canonical mesh and re-render
+    front/back (reference normal_fusion.py:12-63). The capture pipeline
+    instead calls `lift_image_normals` and interpolates at its shared
+    canonical index passes; this wrapper keeps the standalone API.
+
+    Args:
+      cano_tris/live_tris: (T, 3, 3) corresponding triangle soups.
+      valid_tris: (T,).
+      normal_map: (img_h, img_w, 3) image-space normals (camera convention).
+      vert_mats: (T, 3, 4, 4) per-soup-vertex skinning mats (cano->live).
+      mv: (4, 4) world->camera; proj: (4, 4) perspective (gl_space=False).
+      front_/back_*: canonical ortho matrices (camera.cano_front_back_mvp).
+    """
+    attr_tris = lift_image_normals(live_tris, valid_tris, normal_map,
+                                   vert_mats, mv, proj, fx, fy, cx, cy,
+                                   img_h, img_w, window=window)
     # 4. re-render on the canonical mesh (reference :62)
-    attr_tris = proj_n.reshape(T, 3, 3)
     return render_cano_mesh(cano_tris, attr_tris, valid_tris,
                             front_mvp, front_mv, back_mvp, back_mv,
                             res=res, window=window)

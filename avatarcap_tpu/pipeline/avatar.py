@@ -238,10 +238,11 @@ def query_occupancy_fused(packed, cano_pts: jnp.ndarray,
             "nonrigid_offset": out["offset"].reshape(B, N, 3)}
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape",))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "dtype"))
 def grid_pose_features(pose_feat_map: jnp.ndarray,
                        statics: AvatarStatics,
-                       grid_shape, flat_idx: Optional[jnp.ndarray] = None):
+                       grid_shape, flat_idx: Optional[jnp.ndarray] = None,
+                       dtype=None):
     """Pose features for REGULAR-GRID query points, exploiting that the
     pixel-aligned fetch only depends on (x, y): sample once per unique grid
     column (X*Y bilinear fetches instead of N) and broadcast along z.
@@ -271,6 +272,10 @@ def grid_pose_features(pose_feat_map: jnp.ndarray,
     feat_nchw = jnp.moveaxis(pose_feat_map, -1, 1)
     pf_cols = sample_feature_map_at_points(
         feat_nchw, pts_c[None])[0]                            # (X*Y, C)
+    if dtype is not None:
+        # the fused query kernel consumes bf16 pose features; casting
+        # BEFORE the N-row broadcast gather halves its HBM traffic
+        pf_cols = pf_cols.astype(dtype)
     if flat_idx is None:
         return jnp.repeat(pf_cols, Z, axis=0)
     return pf_cols[flat_idx // Z]

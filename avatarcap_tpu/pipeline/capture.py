@@ -39,10 +39,10 @@ from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
 from avatarcap_tpu.body.skinning import skin_points
 from avatarcap_tpu.render.camera import (
     cano_front_back_mvp, gl_perspective_projection_matrix, real2gl_matrix)
-from avatarcap_tpu.render.visualize import render_cano_mesh, \
-    render_live_mesh
+from avatarcap_tpu.render.visualize import (
+    render_live_mesh, cano_index_passes, cano_interpolate, cano_phong)
 from avatarcap_tpu.fusion.normal_fusion import (
-    canonicalize_normal_map, merge_normal_images, merge_normal_images_cover)
+    lift_image_normals, merge_normal_images, merge_normal_images_cover)
 
 
 class CaptureGrid(NamedTuple):
@@ -72,18 +72,40 @@ class CaptureOptions:
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
     use_fused_query: bool = True     # Pallas fast path for the grid query
+    # 'volume': per-subject KNN-LBS weight grid + trilinear matrix
+    # sampling (see body/skinning.py); 'knn': exact per-vertex KNN like
+    # the reference (utils/smpl_util.py:24-39) — ~30x slower per frame.
+    skinning_mode: str = "volume"
+    skin_voxel: float = 0.01
+    # 'mc_edge': Sobel node gradients interpolated along MC edges inside
+    # the extraction kernel; 'sobel_sample': exact reference resampling
+    # (utils/recon_util.py:32-48) — ~4x slower.
+    normal_mode: str = "mc_edge"
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
-                  max_active):
-    """Volume -> mesh + Sobel normals (reference main.py:357-375)."""
+                  max_active, normal_mode: str = "mc_edge"):
+    """Volume -> mesh + Sobel normals (reference main.py:357-375).
+
+    normal_mode 'mc_edge' interpolates Sobel node gradients along each MC
+    edge inside the extraction kernel (~10x less gather traffic);
+    'sobel_sample' trilinearly resamples the Sobel volume at every soup
+    vertex exactly like the reference (utils/recon_util.py:32-48).
+    """
+    from avatarcap_tpu.ops.sobel import extract_normal_volume
     X, Y, Z = grid.vol_res
     vol = volume_flat.reshape(X, Y, Z)
     voxel = (bounds[1] - bounds[0]) / jnp.asarray([X, Y, Z], bounds.dtype)
-    mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
-                         max_active=max_active)
-    grid_coords = mesh_grid_coords(mesh.vertices, bounds)
-    normals = sample_volume_normals(vol, voxel, grid_coords)
+    if normal_mode == "mc_edge":
+        nvol = extract_normal_volume(vol, voxel)
+        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
+                             max_active=max_active, normal_volume=nvol)
+        normals = mesh.normals
+    else:
+        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
+                             max_active=max_active)
+        grid_coords = mesh_grid_coords(mesh.vertices, bounds)
+        normals = sample_volume_normals(vol, voxel, grid_coords)
     valid = jnp.arange(max_tris) < mesh.num_tris
     return CaptureMesh(mesh.vertices, normals, mesh.num_tris, valid)
 
@@ -133,7 +155,8 @@ class AvatarCapture:
                 # warp+template query — the Mpts/s fast path
                 pf = grid_pose_features(feat, self.statics,
                                         self.grid.vol_res,
-                                        self.grid.valid_idx)
+                                        self.grid.valid_idx,
+                                        dtype=jnp.bfloat16)
                 qout = warp_template_query_fused(
                     self._packed_query["offset"],
                     self._packed_query["template"],
@@ -147,27 +170,67 @@ class AvatarCapture:
             vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
                 occ, mode="drop")
             mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
-                                 o.iso_value, o.max_tris, o.max_active)
+                                 o.iso_value, o.max_tris, o.max_active,
+                                 o.normal_mode)
             return mesh, feat
 
-        @functools.partial(jax.jit, static_argnames=("shading",))
-        def cano_render_stage(mesh: CaptureMesh, shading="attribute"):
+        @jax.jit
+        def cano_layers_stage(mesh: CaptureMesh):
+            """One front + one back index pass over the canonical mesh,
+            then all attribute layers by interpolation: avatar normals
+            (reference main.py:369) and the phong preview (main.py:371-375).
+            The index passes are reused again for the lifted image normals
+            in the fusion stage."""
             tris = mesh.vertices.reshape(-1, 3, 3)
             attr = mesh.normals.reshape(-1, 3, 3)
-            return render_cano_mesh(
-                tris, attr, mesh.valid, jnp.asarray(self._fmvp),
-                jnp.asarray(self._fmv), jnp.asarray(self._bmvp),
-                jnp.asarray(self._bmv), res=o.render_res,
-                window=o.raster_window, shading=shading)
+            fri, bri = cano_index_passes(
+                tris, mesh.valid, jnp.asarray(self._fmvp),
+                jnp.asarray(self._bmvp), res=o.render_res,
+                window=o.raster_window)
+            front_n, back_n = cano_interpolate(fri, bri, attr)
+            phong = cano_phong(fri, bri, tris, attr,
+                               jnp.asarray(self._fmv),
+                               jnp.asarray(self._bmv))
+            return fri, bri, front_n, back_n, phong
+
+        @jax.jit
+        def lift_normals_stage(fri, bri, live_mesh: CaptureMesh,
+                               valid, inferred_normal, pt_mats, w2c, proj,
+                               fx, fy, cx, cy):
+            """Stage 2a: lift image normals to the canonical mesh and
+            interpolate at the shared cano index passes (reference
+            normal_fusion.py:12-63)."""
+            img_h, img_w = inferred_normal.shape[:2]
+            proj_n_tris = lift_image_normals(
+                live_mesh.vertices.reshape(-1, 3, 3), valid,
+                inferred_normal, pt_mats.reshape(-1, 3, 4, 4), w2c, proj,
+                fx, fy, cx, cy, img_h, img_w, window=o.raster_window)
+            return cano_interpolate(fri, bri, proj_n_tris)
+
+        if o.skinning_mode == "volume":
+            from avatarcap_tpu.body.skinning import (
+                build_skin_weight_volume, skin_points_by_volume)
+            self._skin_wvol = build_skin_weight_volume(
+                statics.cano_smpl_vertices, statics.smpl_skinning_weights,
+                statics.cano_bounds, voxel=o.skin_voxel)
+        else:
+            self._skin_wvol = None
 
         @jax.jit
         def skinning_stage(mesh: CaptureMesh, cano2live):
             """Avatar mesh -> live space (reference main.py:383-394)."""
-            lbs = approx_lbs_weights(mesh.vertices,
-                                     self.statics.cano_smpl_vertices,
-                                     self.statics.smpl_skinning_weights)
-            live_v, pt_mats = skin_points(mesh.vertices, lbs, cano2live,
-                                          return_pt_mats=True)
+            if o.skinning_mode == "volume":
+                from avatarcap_tpu.body.skinning import skin_points_by_volume
+                live_v, pt_mats = skin_points_by_volume(
+                    mesh.vertices, self._skin_wvol,
+                    self.statics.cano_bounds, cano2live,
+                    return_pt_mats=True)
+            else:
+                lbs = approx_lbs_weights(mesh.vertices,
+                                         self.statics.cano_smpl_vertices,
+                                         self.statics.smpl_skinning_weights)
+                live_v, pt_mats = skin_points(mesh.vertices, lbs, cano2live,
+                                              return_pt_mats=True)
             live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
                                 mesh.normals, precision="highest")
             return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid), \
@@ -208,7 +271,8 @@ class AvatarCapture:
             prior01 = 0.5 * (self.grid.prior_volume + 1.0)
             vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
             return _extract_mesh(vol, self.grid, self.statics.cano_bounds,
-                                 0.5, o.max_tris, o.max_active)
+                                 0.5, o.max_tris, o.max_active,
+                                 o.normal_mode)
 
         @jax.jit
         def nerf_color_stage(tex_vars, feat, frame: FrameInputs,
@@ -231,7 +295,8 @@ class AvatarCapture:
             return avatar_colors[idx[:, 0]]
 
         self._avatar_geometry = avatar_geometry_stage
-        self._cano_render = cano_render_stage
+        self._cano_layers = cano_layers_stage
+        self._lift_normals = lift_normals_stage
         self._skinning = skinning_stage
         self._recon_stage = recon_stage
         self._nerf_color = nerf_color_stage
@@ -268,8 +333,8 @@ class AvatarCapture:
             if timer:
                 timer.observe((cano_mesh, feat))
         with StageTimer.maybe(timer, "1_cano_renders"):
-            front_avatar_n, back_avatar_n = self._cano_render(cano_mesh)
-            cano_phong = self._cano_render(cano_mesh, shading="phong")
+            (fri, bri, front_avatar_n, back_avatar_n,
+             cano_phong) = self._cano_layers(cano_mesh)
             if timer:
                 timer.observe((front_avatar_n, back_avatar_n, cano_phong))
         with StageTimer.maybe(timer, "1_skinning"):
@@ -294,18 +359,13 @@ class AvatarCapture:
             proj = gl_perspective_projection_matrix(fx, fy, cx, cy,
                                                     img_w, img_h,
                                                     gl_space=False)
-            # Stage 2: normal fusion
+            # Stage 2: normal fusion (reuses the cano index passes)
             with StageTimer.maybe(timer, "2_canonicalize_normals"):
-                front_img_n, back_img_n = canonicalize_normal_map(
-                    cano_mesh.vertices.reshape(-1, 3, 3),
-                    live_mesh.vertices.reshape(-1, 3, 3),
-                    cano_mesh.valid, jnp.asarray(inferred_normal),
-                    pt_mats.reshape(-1, 3, 4, 4),
+                front_img_n, back_img_n = self._lift_normals(
+                    fri, bri, live_mesh, cano_mesh.valid,
+                    jnp.asarray(inferred_normal), pt_mats,
                     jnp.asarray(item["w2c_RT"]), jnp.asarray(proj),
-                    jnp.asarray(self._fmvp), jnp.asarray(self._fmv),
-                    jnp.asarray(self._bmvp), jnp.asarray(self._bmv),
-                    fx, fy, cx, cy, img_h, img_w, res=o.render_res,
-                    window=o.raster_window)
+                    fx, fy, cx, cy)
                 if timer:
                     timer.observe((front_img_n, back_img_n))
 

@@ -51,6 +51,31 @@ class RasterOutput(NamedTuple):
     overflow: jnp.ndarray  # () bool: candidates or big tris were dropped
 
 
+class RasterIndex(NamedTuple):
+    """Visibility buffer: per-pixel winning triangle + interpolation
+    weights. One index pass serves any number of attribute layers via
+    `interpolate` — the capture loop renders the same mesh with several
+    attribute sets (normals, lifted image normals, phong inputs), and the
+    rasterization (candidate scatter + z-resolve) is by far the dominant
+    cost, so sharing it is a large per-frame win."""
+
+    tri: jnp.ndarray      # (H*W,) int32 winner triangle (0 where empty)
+    bw: jnp.ndarray       # (H*W, 3) perspective-correct vertex weights
+    depth: jnp.ndarray    # (H, W)
+    mask: jnp.ndarray     # (H, W)
+    overflow: jnp.ndarray  # ()
+
+
+def interpolate(ri: RasterIndex, attrs: jnp.ndarray,
+                bg_value: float = 0.0) -> jnp.ndarray:
+    """Interpolate per-vertex attrs (T, 3, A) at a RasterIndex's pixels."""
+    H, W = ri.mask.shape
+    at = attrs[ri.tri]                                  # (P, 3, A)
+    out = jnp.sum(at * ri.bw[..., None], axis=1)        # (P, A)
+    out = jnp.where(ri.mask.reshape(-1)[:, None], out, bg_value)
+    return out.reshape(H, W, attrs.shape[-1])
+
+
 def _perspective_weights(w0, w1, iw_tri):
     """Screen-space barycentrics -> perspective-correct weights.
 
@@ -67,19 +92,16 @@ def _perspective_weights(w0, w1, iw_tri):
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "window", "cull",
                                     "max_candidates", "big_tri_capacity"))
-def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
-              valid_tris: jnp.ndarray,
-              height: int, width: int, window: int = 4,
-              cull: bool = True,
-              bg_value: float = 0.0,
-              max_candidates: int = 0,
-              big_tri_capacity: int = 0) -> RasterOutput:
-    """Rasterize a triangle soup.
+def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
+                    height: int, width: int, window: int = 4,
+                    cull: bool = True,
+                    max_candidates: int = 0,
+                    big_tri_capacity: int = 0) -> RasterIndex:
+    """Rasterize a triangle soup to a visibility buffer (no attributes).
 
     Args:
       clip_verts: (T, 3, 4) clip-space positions (x, y, z, w). For
         orthographic passes w == 1.
-      attrs: (T, 3, A) per-vertex attributes.
       valid_tris: (T,) bool (padding from marching cubes is masked here).
       height, width: output size.
       window: static K; triangles larger than K x K pixels go to the big
@@ -92,7 +114,6 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
         window; 0 disables the big pass.
     """
     T = clip_verts.shape[0]
-    A = attrs.shape[-1]
     K = window
 
     w = clip_verts[..., 3]
@@ -127,41 +148,45 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
 
     dyx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                  indexing="ij"), axis=-1).reshape(-1, 2)
-    cand_y = min_y[:, None] + dyx[None, :, 0]           # (T, K*K)
-    cand_x = min_x[:, None] + dyx[None, :, 1]
-    in_img = ((cand_x >= 0) & (cand_x < width) &
-              (cand_y >= 0) & (cand_y < height))
 
-    fx = cand_x.astype(px.dtype)
-    fy = cand_y.astype(py.dtype)
-
-    # Edge functions -> barycentrics (sign-normalized by area).
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) < 1e-12, 1.0, area2)
-    w0 = ((cx - bx)[:, None] * (fy - by[:, None])
-          - (cy - by)[:, None] * (fx - bx[:, None])) * inv_area[:, None]
-    w1 = ((ax - cx)[:, None] * (fy - cy[:, None])
-          - (ay - cy)[:, None] * (fx - cx[:, None])) * inv_area[:, None]
-    w2 = 1.0 - w0 - w1
     eps = -1e-6
-    covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) < 1e-12, 1.0, area2)
 
-    valid = covered & in_img & tri_main[:, None]        # (T, K*K)
+    def candidate_quantities(tri, slot):
+        """Recompute (pixel id, w0, w1, z, ok) for candidate slots —
+        called once over (T, K*K) to build the coverage MASK (nothing
+        else materializes at candidate resolution) and once over the
+        compacted survivors."""
+        cy_i = min_y[tri] + dyx[slot, 0]
+        cx_i = min_x[tri] + dyx[slot, 1]
+        in_img = ((cx_i >= 0) & (cx_i < width) &
+                  (cy_i >= 0) & (cy_i < height))
+        fx = cx_i.astype(px.dtype)
+        fy = cy_i.astype(py.dtype)
+        w0 = ((cx - bx)[tri] * (fy - by[tri])
+              - (cy - by)[tri] * (fx - bx[tri])) * inv_area[tri]
+        w1 = ((ax - cx)[tri] * (fy - cy[tri])
+              - (ay - cy)[tri] * (fx - cx[tri])) * inv_area[tri]
+        w2 = 1.0 - w0 - w1
+        z = w0 * pz[tri, 0] + w1 * pz[tri, 1] + w2 * pz[tri, 2]
+        ok = ((w0 >= eps) & (w1 >= eps) & (w2 >= eps) & in_img
+              & (z >= -1.0) & (z <= 1.0))
+        return cy_i * width + cx_i, w0, w1, z, ok
 
-    # Depth: linear-in-screen-space NDC z (GL window depth).
-    z = w0 * pz[:, 0:1] + w1 * pz[:, 1:2] + w2 * pz[:, 2:3]
-    valid &= (z >= -1.0) & (z <= 1.0)
-
-    pix = jnp.where(valid, cand_y * width + cand_x, height * width)
-    pix = pix.reshape(-1)
-    zf = jnp.where(valid, z, jnp.inf).reshape(-1)
+    tri_all = jnp.arange(T, dtype=jnp.int32)[:, None]
+    slot_all = jnp.arange(K * K, dtype=jnp.int32)[None, :]
+    _, _, _, _, ok_all = candidate_quantities(tri_all, slot_all)
+    valid = ok_all & tri_main[:, None]                  # (T, K*K) bool only
 
     # Compact covered candidates before the z-resolve: a K x K window over
     # ~1-3 px triangles leaves ~90% of candidates invalid, and the three
     # resolve passes (2 combining scatters + 1 scalar gather) dominate the
-    # kernel (~145 ms each at 16.7M candidates on v5e). Static capacity:
-    # overflowing candidates are dropped AND reported via `overflow` —
-    # size it by the expected covered-candidate count (default T,
-    # ~2 covered px/triangle).
+    # kernel (~145 ms each at 16.7M candidates on v5e). Only the bool mask
+    # exists at candidate resolution; pixel ids/weights/depths are
+    # recomputed for the compacted survivors (a few flops each vs 100s of
+    # MB of candidate-sized intermediates). Static capacity: overflowing
+    # candidates are dropped AND reported via `overflow` — size it by the
+    # expected covered-candidate count (default T, ~2 covered px/triangle).
     max_c = max_candidates if max_candidates > 0 else max(T, 1 << 16)
     from avatarcap_tpu.ops.compaction import compact_mask_indices
     cand_of, n_covered, c_live = compact_mask_indices(valid.reshape(-1),
@@ -169,12 +194,14 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     overflow = n_covered > max_c
     cand_of = jax.lax.optimization_barrier(cand_of)
     cand_safe = cand_of  # padded entries are 0; masked below
-    pix_c = jnp.where(c_live, pix[cand_safe], height * width)
-    z_c = jnp.where(c_live, zf[cand_safe], jnp.inf)
+    pix_c, _, _, z_cand, _ = candidate_quantities(cand_safe // (K * K),
+                                                  cand_safe % (K * K))
+    pix_c = jnp.where(c_live, pix_c, height * width)
+    z_c = jnp.where(c_live, z_cand, jnp.inf)
 
     npix = height * width
     # Pass 1: min depth per pixel (+1 sentinel slot for invalid writes).
-    zbuf = jnp.full((npix + 1,), jnp.inf, z.dtype).at[pix_c].min(z_c)
+    zbuf = jnp.full((npix + 1,), jnp.inf, z_c.dtype).at[pix_c].min(z_c)
     # Pass 2: min candidate id among exact depth winners.
     is_winner = (z_c == zbuf[pix_c]) & (z_c < jnp.inf)
     win_ids = jnp.where(is_winner, cand_safe, jnp.iinfo(jnp.int32).max)
@@ -185,23 +212,20 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
     safe_winner = jnp.where(mask, winner[:npix], 0)
     tri_of = safe_winner // (K * K)
 
-    # Perspective-correct attribute interpolation at winners.
-    w0w = w0.reshape(-1)[safe_winner]
-    w1w = w1.reshape(-1)[safe_winner]
+    # Perspective-correct weights at winners (recomputed at P pixels).
+    _, w0w, w1w, _, _ = candidate_quantities(tri_of,
+                                             safe_winner % (K * K))
     bw = _perspective_weights(w0w, w1w, iw[tri_of])     # (P, 3)
-    at = attrs[tri_of]                                  # (P, 3, A)
-    out_attr = jnp.sum(at * bw[..., None], axis=1)      # (P, A)
-    out_attr = jnp.where(mask[:, None], out_attr, bg_value)
     out_depth = jnp.where(mask, zbuf[:npix], jnp.inf)
 
     if big_tri_capacity > 0:
-        big_attr, big_depth, big_mask, big_over = _big_triangle_pass(
-            px, py, pz, iw, area2, attrs, is_big, big_tri_capacity,
-            height, width)
+        big_tri, big_bw, big_depth, big_mask, big_over = _big_triangle_pass(
+            px, py, pz, iw, area2, is_big, big_tri_capacity, height, width)
         overflow = overflow | big_over
         # Merge by depth; the windowed pass wins exact ties.
         take_big = big_mask & (big_depth < out_depth)
-        out_attr = jnp.where(take_big[:, None], big_attr, out_attr)
+        tri_of = jnp.where(take_big, big_tri, tri_of)
+        bw = jnp.where(take_big[:, None], big_bw, bw)
         out_depth = jnp.where(take_big, big_depth, out_depth)
         mask = mask | big_mask
     else:
@@ -209,30 +233,51 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
         # that is dropped coverage, so report it.
         overflow = overflow | jnp.any(is_big)
 
-    return RasterOutput(
-        attrs=out_attr.reshape(height, width, A),
+    return RasterIndex(
+        tri=tri_of,
+        bw=bw,
         depth=out_depth.reshape(height, width),
         mask=mask.reshape(height, width),
         overflow=overflow,
     )
 
 
-def _big_triangle_pass(px, py, pz, iw, area2, attrs, is_big, capacity,
+def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
+              valid_tris: jnp.ndarray,
+              height: int, width: int, window: int = 4,
+              cull: bool = True,
+              bg_value: float = 0.0,
+              max_candidates: int = 0,
+              big_tri_capacity: int = 0) -> RasterOutput:
+    """Rasterize a triangle soup with per-vertex attributes (T, 3, A).
+
+    Index pass + one interpolation; callers rendering several attribute
+    layers of the same mesh should call `rasterize_index` once and
+    `interpolate` per layer instead.
+    """
+    ri = rasterize_index(clip_verts, valid_tris, height, width,
+                         window=window, cull=cull,
+                         max_candidates=max_candidates,
+                         big_tri_capacity=big_tri_capacity)
+    return RasterOutput(attrs=interpolate(ri, attrs, bg_value),
+                        depth=ri.depth, mask=ri.mask, overflow=ri.overflow)
+
+
+def _big_triangle_pass(px, py, pz, iw, area2, is_big, capacity,
                        height, width):
     """Exact coverage for <=capacity oversized triangles, scatter-free:
     every pixel tests each big triangle and keeps the min-depth winner.
     Cost is capacity * H * W elementwise ops — fine for the few large
     triangles of body meshes seen up close.
 
-    Returns flat (P, A) attrs, (P,) depth (+inf empty), (P,) mask,
-    () overflow.
+    Returns flat (P,) winner tri ids (into the ORIGINAL soup), (P, 3)
+    weights, (P,) depth (+inf empty), (P,) mask, () overflow.
     """
     from avatarcap_tpu.ops.compaction import compact_mask_indices
     idx, n_big, live = compact_mask_indices(is_big, capacity)
     bpx, bpy, bpz = px[idx], py[idx], pz[idx]           # (C, 3)
     biw = iw[idx]
     barea = area2[idx]
-    battrs = attrs[idx]                                 # (C, 3, A)
 
     fy, fx = jnp.meshgrid(jnp.arange(height, dtype=px.dtype),
                           jnp.arange(width, dtype=px.dtype), indexing="ij")
@@ -262,10 +307,8 @@ def _big_triangle_pass(px, py, pz, iw, area2, attrs, is_big, capacity,
     w0b = w0[best, pcols]
     w1b = w1[best, pcols]
     bw = _perspective_weights(w0b, w1b, biw[best])      # (P, 3)
-    at = battrs[best]                                   # (P, 3, A)
-    out = jnp.sum(at * bw[..., None], axis=1)
-    out = jnp.where(mask[:, None], out, 0.0)
-    return out, jnp.where(mask, zbest, jnp.inf), mask, n_big > capacity
+    tri = jnp.where(mask, idx[best], 0)
+    return tri, bw, jnp.where(mask, zbest, jnp.inf), mask, n_big > capacity
 
 
 def transform_to_clip(vertices: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:

@@ -13,7 +13,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from avatarcap_tpu.render.raster import rasterize, RasterOutput
+from avatarcap_tpu.render.raster import (rasterize, rasterize_index,
+                                          interpolate, RasterOutput,
+                                          RasterIndex)
 
 
 def _transform_tris(tris: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
@@ -46,6 +48,61 @@ def phong_shade(cam_pos: jnp.ndarray, cam_normal: jnp.ndarray,
     if base_color is not None:
         c = c * base_color
     return c
+
+
+@functools.partial(jax.jit, static_argnames=("res", "window", "big_tris"))
+def cano_index_passes(tris: jnp.ndarray, valid: jnp.ndarray,
+                      front_mvp: jnp.ndarray, back_mvp: jnp.ndarray,
+                      res: int = 512, window: int = 4, big_tris: int = 0
+                      ) -> Tuple[RasterIndex, RasterIndex]:
+    """Front + back orthographic visibility buffers of the canonical mesh.
+
+    The capture loop renders the SAME canonical mesh with several attribute
+    layers (avatar normals, phong inputs, lifted image normals — reference
+    main.py:367-375 + normal_fusion.py:62); one index pass per side feeds
+    them all via `interpolate` so the z-resolve cost is paid once.
+    """
+    fri = rasterize_index(_transform_tris(tris, front_mvp), valid, res, res,
+                          window=window, big_tri_capacity=big_tris)
+    bri = rasterize_index(_transform_tris(tris, back_mvp), valid, res, res,
+                          window=window, big_tri_capacity=big_tris)
+    return fri, bri
+
+
+def cano_interpolate(fri: RasterIndex, bri: RasterIndex,
+                     attr_tris: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Attribute layers at precomputed cano index passes; back x-flipped
+    (reference visualize_util.py:51)."""
+    front = interpolate(fri, attr_tris)
+    back = interpolate(bri, attr_tris)[:, ::-1]
+    return front, back
+
+
+def cano_phong(fri: RasterIndex, bri: RasterIndex, tris: jnp.ndarray,
+               normal_tris: jnp.ndarray, front_mv: jnp.ndarray,
+               back_mv: jnp.ndarray,
+               color_tris: Optional[jnp.ndarray] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phong shading from precomputed index passes (same math as
+    render_cano_mesh(shading='phong'): per-vertex cam-space transform +
+    normalize, interpolate, shade; white background)."""
+    def shade(ri, mv):
+        cam_v = jnp.einsum("ij,tvj->tvi", mv[:3, :3], tris,
+                           precision="highest") + mv[:3, 3]
+        cam_n = jnp.einsum("ij,tvj->tvi", mv[:3, :3], normal_tris,
+                           precision="highest")
+        cam_n = cam_n / jnp.maximum(
+            jnp.linalg.norm(cam_n, axis=-1, keepdims=True), 1e-12)
+        v = interpolate(ri, cam_v)
+        n = interpolate(ri, cam_n)
+        base = interpolate(ri, color_tris) if color_tris is not None else None
+        img = phong_shade(v, n, base)
+        return jnp.where(ri.mask[..., None], img, 1.0)
+
+    front = shade(fri, front_mv)
+    back = shade(bri, back_mv)[:, ::-1]
+    return front, back
 
 
 @functools.partial(jax.jit, static_argnames=("res", "window", "shading",

@@ -239,7 +239,8 @@ def convert_recon_network(sd) -> Dict:
 # pix2pixHD GlobalGenerator (reference network/networks.py:133-163)
 # ---------------------------------------------------------------------------
 
-def convert_global_generator(sd, prefix="", n_downsampling=4, n_blocks=9):
+def convert_global_generator(sd, prefix="", n_downsampling=4, n_blocks=9,
+                             include_out=True):
     def plain_conv(name):
         return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
                 "bias": _np(sd[f"{name}.bias"])}
@@ -260,8 +261,47 @@ def convert_global_generator(sd, prefix="", n_downsampling=4, n_blocks=9):
         params[f"up{i}"] = {"kernel": w,
                             "bias": _np(sd[f"{prefix}model.{idx}.bias"])}
         idx += 3
-    params["conv_out"] = plain_conv(f"{prefix}model.{idx + 1}")
+    if include_out:
+        # truncated trunks (LocalEnhancer's global branch,
+        # reference networks.py:86-88) have no final pad/conv/tanh
+        params["conv_out"] = plain_conv(f"{prefix}model.{idx + 1}")
     return {"params": params}
+
+
+def convert_local_enhancer(sd, n_local_enhancers=1, n_downsample_global=3,
+                           n_blocks_global=9, n_blocks_local=3):
+    """pix2pixHD LocalEnhancer (reference network/networks.py:79-131)."""
+    def plain_conv(name):
+        return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(sd[f"{name}.bias"])}
+
+    params = {"global": convert_global_generator(
+        sd, prefix="", n_downsampling=n_downsample_global,
+        n_blocks=n_blocks_global, include_out=False)["params"]}
+    for n in range(1, n_local_enhancers + 1):
+        params[f"enh{n}_conv_in"] = plain_conv(f"model{n}_1.1")
+        params[f"enh{n}_down"] = plain_conv(f"model{n}_1.4")
+        for i in range(n_blocks_local):
+            params[f"enh{n}_res{i}"] = {
+                "conv1": plain_conv(f"model{n}_2.{i}.conv_block.1"),
+                "conv2": plain_conv(f"model{n}_2.{i}.conv_block.5"),
+            }
+        w = _np(sd[f"model{n}_2.{n_blocks_local}.weight"]) \
+            .transpose(2, 3, 0, 1)
+        params[f"enh{n}_up"] = {
+            "kernel": w,
+            "bias": _np(sd[f"model{n}_2.{n_blocks_local}.bias"])}
+        if n == n_local_enhancers:
+            params[f"enh{n}_conv_out"] = plain_conv(
+                f"model{n}_2.{n_blocks_local + 4}")
+    return {"params": params}
+
+
+def convert_encoder(sd, n_downsampling=4):
+    """pix2pixHD Encoder (reference network/networks.py:207-228): same
+    sequential layout as GlobalGenerator with zero resnet blocks."""
+    return convert_global_generator(sd, n_downsampling=n_downsampling,
+                                    n_blocks=0)
 
 
 def load_torch_state_dict(path: str, key: str = "network"):

@@ -227,9 +227,11 @@ class AvatarTrainer:
             batch_size: int, state: TrainState,
             ckpt_interval: int = 10, seed: int = 31359,
             log_fn=print) -> TrainState:
+        from avatarcap_tpu.utils.tb_logging import ScalarLogger
         os.makedirs(self.net_ckpt_dir, exist_ok=True)
-        log_path = os.path.join(self.net_ckpt_dir,
-                                f"{self.log_name}_loss.jsonl")
+        # JSONL + TensorBoard scalars per batch and epoch means per epoch
+        # (reference main.py:125-141)
+        logger = ScalarLogger(self.net_ckpt_dir, self.log_name)
         batch_num = max(1, len(dataset) // batch_size)
         rng = jax.random.PRNGKey(seed)
         for epoch_idx in range(start_epoch, end_epoch):
@@ -251,9 +253,12 @@ class AvatarTrainer:
                 log_fn(f"epoch {epoch_idx}, batch {batch_idx}, "
                        f"lr: {float(lrs[0]):.2e}, {float(lrs[1]):.2e}, "
                        + ", ".join(f"{k}: {v:.6f}" for k, v in m.items()))
-                with open(log_path, "a") as f:
-                    f.write(json.dumps({"epoch": epoch_idx,
-                                        "batch": batch_idx, **m}) + "\n")
+                logger.log(m, step=epoch_idx * batch_num + batch_idx,
+                           extra={"epoch": epoch_idx, "batch": batch_idx})
+            logger.log({f"epoch/{k}": v / batch_num
+                        for k, v in epoch_losses.items()}, step=epoch_idx,
+                       extra={"epoch": epoch_idx, "batch": -1})
+            logger.flush()
             log_fn(f"epoch {epoch_idx} took {time.time() - t_epoch:.1f} s")
 
             if epoch_idx % ckpt_interval == 0:

@@ -1,15 +1,24 @@
-"""Headline benchmark: GeoTexAvatar inference (BASELINE config #1).
+"""Benchmarks for every BASELINE.md config, on the attached TPU chip.
 
-Single canonical pose: pose U-Net + warp field + implicit template over a
-128^3 grid, then device marching cubes — end-to-end on one chip. Prints ONE
-JSON line. `value` is implicit-query throughput in Mpts/s (the primary
-speed metric from BASELINE.md); `vs_baseline` is the fraction of the 1 s
-frame budget this stage leaves (north star: full 512^2-RGB->mesh < 1 s/frame),
-i.e. 1.0 / (seconds for grid eval + marching cubes), >1 is better than
-budget-parity for this stage.
+Prints ONE JSON line per config; the LAST line is the headline metric
+(BASELINE config #4: full AvatarCap frame seconds; north star < 1 s/frame
+512^2 RGB -> mesh on one v5e chip, `vs_baseline` = fraction of the 1 s
+budget achieved, > 1 beats the target).
+
+Configs (BASELINE.md "Benchmark configs to implement"):
+  1. GeoTexAvatar inference: 128^3 grid implicit query + marching tets.
+  2. GeoTexAvatar training step: batch 4, 1024 rays x 64 samples,
+     5312 geometry pts/item (the reference per-item load).
+  3. ReconNet frame: HGFilter on 512^2 + pixel-aligned MLP over 256^3 pts.
+  4. Full AvatarCap frame: 384x384x128 grid, 512^2 renders + 100-iter
+     fusion + ReconNet + skinning (the reference test pipeline,
+     main.py:275-504).
+  5. Streaming capture: frames/s over a batch of frames through the
+     per-frame pipeline on one chip (v5e-4 scaling is exercised by
+     dryrun_multichip on the virtual mesh; no multi-chip hardware here).
 
 NOTE (axon): jax.block_until_ready does not block on the tunneled TPU
-platform; timings force a scalar readback.
+platform; timings force a host readback (utils.timers.sync).
 """
 
 import json
@@ -20,7 +29,14 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
+
+
+def bench_config1():
+    """128^3 implicit query + marching tets (Mpts/s)."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _toy_setup
@@ -45,7 +61,8 @@ def main():
     @jax.jit
     def query_fn(variables, packed, pts, pos_map):
         feat, _ = compute_pose_features(module, variables, pos_map)
-        pf = grid_pose_features(feat, statics, (res, res, res))
+        pf = grid_pose_features(feat, statics, (res, res, res),
+                                dtype=jnp.bfloat16)
         out = warp_template_query_fused(packed["offset"],
                                         packed["template"], pts, pf)
         return out["occ"][:, 0].reshape(res, res, res)
@@ -57,27 +74,132 @@ def main():
                              max_tris=1 << 19, max_active=1 << 17)
         return mesh.num_tris
 
-    # warm up (compile)
     vol = query_fn(variables, packed, pts, frame.smpl_pos_map)
     nt = mc_fn(vol)
     _ = int(nt)
-
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         vol = query_fn(variables, packed, pts, frame.smpl_pos_map)
         nt = mc_fn(vol)
-    _ = int(nt)  # forced readback (axon: block_until_ready lies)
+    _ = int(nt)  # forced readback
     dt = (time.time() - t0) / iters
+    _emit("geotexavatar_128grid_implicit_query_Mpts_per_s",
+          n_pts / dt / 1e6, "Mpts/s", 1.0 / dt)
 
-    mpts_per_s = n_pts / dt / 1e6
-    out = {
-        "metric": "geotexavatar_128grid_implicit_query_Mpts_per_s",
-        "value": round(mpts_per_s, 3),
-        "unit": "Mpts/s",
-        "vs_baseline": round(1.0 / dt, 3),
-    }
-    print(json.dumps(out))
+
+def bench_config2():
+    """Training step throughput at the reference per-item load."""
+    import jax
+    import jax.numpy as jnp
+    from avatarcap_tpu.tools.bench_workloads import build_train_env
+    from avatarcap_tpu.utils.timers import sync
+
+    env = build_train_env()
+    trainer, state = env["trainer"], env["state"]
+    batch = {k: jnp.asarray(v) for k, v in env["batch"].items()}
+    lrs = jnp.asarray([1e-3, 1e-4])
+    rng = jax.random.PRNGKey(0)
+
+    state, metrics = trainer.train_step(state, batch, lrs, rng)
+    sync(metrics)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, batch, lrs, rng)
+    sync(metrics)
+    dt = (time.time() - t0) / iters
+    _emit("avatar_train_steps_per_s_batch4", 1.0 / dt, "steps/s", 1.0 / dt)
+
+
+def bench_config3(env):
+    """ReconNet: HGFilter 512^2 + pixel-aligned decode over 256^3 pts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from avatarcap_tpu.utils.timers import sync
+    from avatarcap_tpu.models.recon import ReconNetwork
+
+    cap = env["capture"]
+    recon, recon_vars = cap.recon, cap.recon_vars
+    statics = cap.statics
+
+    res = 256
+    lin = [jnp.linspace(0.0, 1.0, res) for _ in range(3)]
+    g = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+    pts = g * (statics.cano_bounds[1] - statics.cano_bounds[0]) \
+        + statics.cano_bounds[0]
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.standard_normal((1, 512, 512, 6))
+                      .astype(np.float32))
+
+    if cap.opt.use_fused_query:
+        from avatarcap_tpu.ops.pallas_query import recon_decode_fused
+        from avatarcap_tpu.pipeline.avatar import grid_pose_features
+
+        @jax.jit
+        def recon_frame(recon_vars, img):
+            feat_map = recon.apply(recon_vars, img,
+                                   method=ReconNetwork.get_feat_maps)
+            pf = grid_pose_features(feat_map, statics, (res, res, res))
+            z = pts[:, 2] - statics.cano_smpl_center[2]
+            feats = jnp.concatenate([pf, z[:, None]], axis=-1)
+            return recon_decode_fused(cap._packed_recon, feats)
+    else:
+        @jax.jit
+        def recon_frame(recon_vars, img):
+            feat_map = recon.apply(recon_vars, img,
+                                   method=ReconNetwork.get_feat_maps)
+            return recon.apply(recon_vars, feat_map, pts[None],
+                               statics.cano_smpl_center[None],
+                               method=ReconNetwork.decode_points)[0]
+
+    ov = recon_frame(recon_vars, img)
+    sync(ov)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        ov = recon_frame(recon_vars, img)
+    sync(ov)
+    dt = (time.time() - t0) / iters
+    _emit("reconnet_512img_256cube_seconds", dt, "s",
+          (res ** 3) / dt / 1e6)  # Mpts/s as the comparison figure
+
+
+def bench_config45(env):
+    """Full frame (config #4) + single-chip streaming fps (config #5)."""
+    from avatarcap_tpu.utils.timers import sync
+
+    cap, item = env["capture"], env["item"]
+    kw = dict(w_recon=True, w_nerf=False,
+              inferred_normal=env["inferred_normal"], neck_vertex_idx=0,
+              camera=env["cam"])
+    res = cap.process_frame(item, **kw)
+    sync(res)
+
+    frames = 5
+    t0 = time.time()
+    for _ in range(frames):
+        res = cap.process_frame(item, **kw)
+    sync(res)
+    dt = (time.time() - t0) / frames
+    _emit("streaming_capture_fps_1chip", 1.0 / dt, "frames/s", 1.0 / dt)
+    return dt
+
+
+def main():
+    from avatarcap_tpu.utils.timers import enable_compile_cache
+    enable_compile_cache()
+
+    bench_config1()
+    bench_config2()
+
+    from avatarcap_tpu.tools.bench_workloads import build_capture_env
+    env = build_capture_env()
+    bench_config3(env)
+    dt = bench_config45(env)
+    # headline LAST: full-frame seconds vs the <1 s north star
+    _emit("avatarcap_full_frame_seconds", dt, "s", 1.0 / dt)
 
 
 if __name__ == "__main__":

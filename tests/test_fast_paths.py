@@ -1,0 +1,94 @@
+"""Capture fast-path approximations vs their exact counterparts.
+
+The capture pipeline's default fast paths (volume-sampled KNN-LBS
+skinning, MC-edge Sobel normals) are documented approximations of the
+reference semantics; these tests pin their error bounds so a regression
+in either approximation is caught, and the exact paths stay available.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from conftest import make_toy_smpl_params
+
+
+class TestVolumeSkinning:
+    def test_matches_exact_knn(self, rng):
+        """skin_points_by_volume == KNN-Gaussian skinning to ~1 mm at
+        1 cm voxels (body/skinning.py fast path)."""
+        from avatarcap_tpu.body.smpl import smpl_forward, canonical_pose
+        from avatarcap_tpu.body.skinning import (
+            build_skin_weight_volume, skin_points_by_volume, skin_points)
+        from avatarcap_tpu.ops.knn import approx_lbs_weights
+
+        params = make_toy_smpl_params()
+        cano = smpl_forward(params, jnp.asarray(canonical_pose()),
+                            jnp.zeros(10))
+        v = np.asarray(cano.vertices)
+        lo = v.min(0) - np.array([0.05, 0.05, 0.15], np.float32)
+        hi = v.max(0) + np.array([0.05, 0.05, 0.15], np.float32)
+        bounds = jnp.asarray(np.stack([lo, hi]))
+        wvol = build_skin_weight_volume(
+            cano.vertices, jnp.asarray(params.weights), bounds, voxel=0.01)
+
+        # random joint motion
+        J = params.num_joints
+        mats = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
+        from scipy.spatial.transform import Rotation
+        for j in range(J):
+            mats[j, :3, :3] = Rotation.from_rotvec(
+                0.2 * rng.standard_normal(3)).as_matrix()
+            mats[j, :3, 3] = 0.05 * rng.standard_normal(3)
+        mats = jnp.asarray(mats)
+
+        # points near the body surface (where captured mesh verts live)
+        sel = rng.choice(len(v), 500)
+        pts = jnp.asarray(v[sel] + 0.02 * rng.standard_normal((500, 3))
+                          .astype(np.float32))
+
+        lbs = approx_lbs_weights(pts, cano.vertices,
+                                 jnp.asarray(params.weights))
+        exact, exact_mats = skin_points(pts, lbs, mats, return_pt_mats=True)
+        fast, fast_mats = skin_points_by_volume(pts, wvol, bounds, mats,
+                                                return_pt_mats=True)
+        err = np.linalg.norm(np.asarray(exact) - np.asarray(fast), axis=-1)
+        assert err.max() < 2e-3, f"max skinning deviation {err.max():.4f} m"
+        m_err = np.abs(np.asarray(exact_mats) - np.asarray(fast_mats)).max()
+        assert m_err < 0.05, m_err
+
+
+class TestMcEdgeNormals:
+    def test_matches_sobel_sampling_on_sphere(self):
+        """MC-edge gradient normals align with the reference-style Sobel
+        resampling (and with the analytic sphere normal)."""
+        from avatarcap_tpu.ops.marching_cubes import (marching_tets,
+                                                      mesh_grid_coords)
+        from avatarcap_tpu.ops.sobel import (extract_normal_volume,
+                                             sample_volume_normals)
+
+        res = 48
+        lin = np.linspace(-1, 1, res, dtype=np.float32)
+        g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+        vol = jnp.asarray(0.6 - np.linalg.norm(g, axis=-1))  # inside-positive
+        bmin = jnp.asarray([-1.0, -1.0, -1.0])
+        voxel = jnp.asarray([2.0 / res] * 3)
+        nvol = extract_normal_volume(vol, voxel)
+        mesh = marching_tets(vol, 0.0, bmin, voxel, max_tris=1 << 15,
+                             max_active=1 << 13, normal_volume=nvol)
+        nt = int(mesh.num_tris)
+        assert nt > 500
+        fast_n = np.asarray(mesh.normals[: 3 * nt])
+
+        bounds = jnp.stack([bmin, bmin + voxel * res])
+        gc = mesh_grid_coords(mesh.vertices, bounds)
+        exact_n = np.asarray(sample_volume_normals(vol, voxel, gc)[: 3 * nt])
+
+        dots = np.sum(fast_n * exact_n, axis=-1)
+        assert np.quantile(dots, 0.01) > 0.98, np.quantile(dots, 0.01)
+
+        # both should point outward (along +position for a sphere)
+        verts = np.asarray(mesh.vertices[: 3 * nt])
+        vhat = verts / np.maximum(
+            np.linalg.norm(verts, axis=-1, keepdims=True), 1e-9)
+        assert np.mean(np.sum(fast_n * vhat, -1)) > 0.99

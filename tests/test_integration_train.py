@@ -103,8 +103,11 @@ class TestTrainingLoop:
         log = (tmp_path / "ckpt" / "train_loss.jsonl").read_text()
         import json
         recs = [json.loads(l) for l in log.splitlines()]
-        assert len(recs) == 2
-        assert all(np.isfinite(r["total_loss"]) for r in recs)
+        batch_recs = [r for r in recs if r["batch"] >= 0]
+        epoch_recs = [r for r in recs if r["batch"] == -1]  # epoch means
+        assert len(batch_recs) == 2 and len(epoch_recs) == 1
+        assert all(np.isfinite(r["total_loss"]) for r in batch_recs)
+        assert np.isfinite(epoch_recs[0]["epoch/total_loss"])
 
         # epoch 0: warp lr is zero -> warping field params unchanged
         np.testing.assert_allclose(

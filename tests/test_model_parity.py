@@ -266,3 +266,39 @@ class TestPix2PixParity:
         variables = convert_global_generator(tm.state_dict())
         got = m.apply(variables, jnp.asarray(to_nhwc(x)))
         np.testing.assert_allclose(from_nhwc(got), ref, atol=1e-4)
+
+    def test_local_enhancer(self):
+        """LocalEnhancer variant (reference networks.py:79-131) — unused
+        by the pipeline but part of the define_G surface."""
+        from network.networks import define_G
+        from avatarcap_tpu.models.pix2pix import LocalEnhancer
+        from avatarcap_tpu.tools.convert_torch_ckpt import \
+            convert_local_enhancer
+
+        tm = define_G(3, 3, 32, "local", 3, 9, 1, 3, "instance").eval()
+        x = np.random.randn(1, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        m = LocalEnhancer(output_nc=3, ngf=32)
+        variables = convert_local_enhancer(tm.state_dict())
+        got = m.apply(variables, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(from_nhwc(got), ref, atol=1e-4)
+
+    def test_encoder(self):
+        """Encoder variant with instance-wise average pooling (reference
+        networks.py:207-242)."""
+        from network.networks import define_G
+        from avatarcap_tpu.models.pix2pix import Encoder
+        from avatarcap_tpu.tools.convert_torch_ckpt import convert_encoder
+
+        tm = define_G(3, 3, 32, "encoder", 4, norm="instance").eval()
+        x = np.random.randn(1, 3, 64, 64).astype(np.float32)
+        inst = np.random.randint(0, 4, (1, 1, 64, 64))
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x),
+                     torch.from_numpy(inst)).numpy()
+        m = Encoder(output_nc=3, ngf=32, n_downsampling=4)
+        variables = convert_encoder(tm.state_dict())
+        got = m.apply(variables, jnp.asarray(to_nhwc(x)),
+                      jnp.asarray(inst[:, 0]))
+        np.testing.assert_allclose(from_nhwc(got), ref, atol=1e-4)
