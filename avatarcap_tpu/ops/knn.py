@@ -24,23 +24,37 @@ def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int):
     # |q - v|^2 = |q|^2 - 2 q.v + |v|^2 ; the cross term is a matmul (MXU).
     cross = jnp.matmul(q, db.T, precision="highest")  # (C, M)
     d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * cross + db_sq[None, :]
+    if k == 1:
+        # one reduce pass — lax.top_k lowers to a full stable sort on TPU,
+        # whose value+iota temps triple the footprint of the d2 tile
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)[:, None]
+        return jnp.maximum(jnp.min(d2, axis=-1)[:, None], 0.0), idx
     neg, idx = jax.lax.top_k(-d2, k)
     return jnp.maximum(-neg, 0.0), idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def knn(queries: jnp.ndarray, database: jnp.ndarray, k: int = 1,
-        chunk: int = 65536):
+        chunk: int = 16384):
     """K nearest database points for each query point.
+
+    The KNN result (indices, thresholded distances) is not differentiable
+    anywhere it is used (reference detaches too, arch_avatar.py:190-205),
+    so inputs are stop_gradient-ed: under jvp/vjp the (chunk, M) distance
+    tiles then carry no tangents and autodiff saves no residuals for them.
 
     Args:
       queries: (N, 3).
       database: (M, 3).
       k: neighbors.
-      chunk: query tile size (static). N is padded up to a multiple.
+      chunk: query tile size (static). N is padded up to a multiple; tiles
+        stream through lax.map so the (chunk, M) distance tile bounds peak
+        memory even when the caller vmaps over a batch.
     Returns:
       dists: (N, k) squared distances (ascending), idx: (N, k) int32.
     """
+    queries = jax.lax.stop_gradient(queries)
+    database = jax.lax.stop_gradient(database)
     N = queries.shape[0]
     db_sq = jnp.sum(database * database, axis=-1)
     if N <= chunk:

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--vol-res", type=int, nargs=3, default=(384, 384, 128))
     ap.add_argument("--fusion-iters", type=int, default=100)
     ap.add_argument("--no-fused-query", action="store_true")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="also capture a jax.profiler trace of the timed "
+                         "frames into DIR (view with TensorBoard or xprof)")
     args = ap.parse_args()
 
     import jax
@@ -51,10 +54,14 @@ def main():
           + (f", recon tris={int(res['recon_mesh'].num_tris):,}"
              if "recon_mesh" in res else ""))
 
+    import contextlib
+    trace_cm = (jax.profiler.trace(args.trace) if args.trace
+                else contextlib.nullcontext())
     timer = StageTimer()
     t0 = time.perf_counter()
-    for _ in range(args.frames):
-        capture.process_frame(item, timer=timer, **kw)
+    with trace_cm:
+        for _ in range(args.frames):
+            capture.process_frame(item, timer=timer, **kw)
     dt = (time.perf_counter() - t0) / args.frames
     for k in timer.times:
         timer.times[k] /= args.frames
