@@ -226,13 +226,48 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     cube_start = cube_cum - cube_counts                 # (A,)
     start_slot = jnp.where((cube_counts > 0) & (cube_start < max_tris),
                            cube_start, max_tris)
-    seed = jnp.zeros((max_tris + 1,), jnp.int32).at[start_slot].max(
-        jnp.arange(cube_cum.shape[0], dtype=jnp.int32), mode="drop")
-    cube_of = jax.lax.associative_scan(jnp.maximum, seed[:max_tris])
-    cube_of = jnp.minimum(cube_of, cube_cum.shape[0] - 1)
-    r = tri_j - (cube_cum[cube_of] - cube_counts[cube_of])  # 0..11
-    tc = tcounts[cube_of]                               # (T, 6) row gather
-    pref = jnp.cumsum(tc, axis=1)                       # (T, 6)
+    # Per-output-triangle source data rides ONE scatter + forward-fill:
+    # every per-cube quantity the emission needs (output start, packed
+    # per-tet prefix, packed cases, packed base ijk, the 8 corner values
+    # bitcast to int32, and optionally the 8 corner gradients packed as
+    # bf16 pairs) is seeded at the cube's first output slot and carried
+    # down by a log-step fill keyed on cube rank. Random row gathers at
+    # max_tris indices (the alternative) run at ~25M gathered elem/s on
+    # v5e — ~300 ms for av/cases/ids at 1M triangles — while the fill is
+    # bandwidth-bound (~5 ms/channel).
+    from avatarcap_tpu.ops.compaction import prefix_fill_max
+    pref_c = jnp.cumsum(tcounts, axis=1)                # (A, 6)
+    pref_packed = jnp.sum(pref_c << (4 * jnp.arange(6, dtype=jnp.int32))
+                          [None, :], axis=1).astype(jnp.int32)
+    cases_packed = jnp.sum(cases << (4 * jnp.arange(6, dtype=jnp.int32))
+                           [None, :], axis=1).astype(jnp.int32)
+    base_packed = (aix << 20) | (aiy << 10) | aiz       # 10 bits each
+    A_cap = cube_cum.shape[0]
+    carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
+                  pref_packed, cases_packed, base_packed]
+    carry_cols += [jax.lax.bitcast_convert_type(av[:, i], jnp.int32)
+                   for i in range(8)]
+
+    if normal_volume is not None:
+        # corner gradients for ACTIVE cubes, packed 2 bf16 per int32
+        nv_flat = normal_volume.reshape(-1, 3)
+        grad_cols = []
+        for dx, dy, dz in _CUBE_CORNERS:
+            flat = ((aix + dx) * Y + (aiy + dy)) * Z + (aiz + dz)
+            grad_cols.append(nv_flat[flat])
+        gv = jnp.stack(grad_cols, axis=1).reshape(A_cap, 24)   # (A, 24)
+        gv16 = jax.lax.bitcast_convert_type(
+            gv.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+        carry_cols += [(gv16[:, 2 * i] | (gv16[:, 2 * i + 1] << 16))
+                       for i in range(12)]
+
+    seed = jnp.full((max_tris + 1, len(carry_cols)),
+                    jnp.iinfo(jnp.int32).min, jnp.int32).at[start_slot].max(
+        jnp.stack(carry_cols, axis=-1), mode="drop")[:max_tris]
+    filled = prefix_fill_max(seed)
+    r = tri_j - jnp.maximum(filled[:, 1], 0)            # 0..11
+    pp = filled[:, 2]
+    pref = jnp.stack([(pp >> (4 * i)) & 15 for i in range(6)], axis=-1)
     tet_of = jnp.sum((r[:, None] >= pref).astype(jnp.int32), axis=1)
     tet_of = jnp.minimum(tet_of, 5)
     prev = jnp.where(tet_of > 0,
@@ -240,15 +275,12 @@ def marching_tets(volume: jnp.ndarray, iso: float,
                                          jnp.maximum(tet_of - 1, 0)[:, None],
                                          axis=1)[:, 0], 0)
     k_of = jnp.clip(r - prev, 0, 1)
-    cube_of, tet_of, k_of = jax.lax.optimization_barrier(
-        (cube_of, tet_of, k_of))
 
-    # Gather per-triangle sources (row gathers of max_tris elements).
-    av_t = av[cube_of]                                  # (T, 8)
-    case_t = cases[cube_of, tet_of]                     # (T,)
-    aid_t = active_ids[cube_of]
-    base_t = jnp.stack([aid_t // (ny * nz), (aid_t // nz) % ny,
-                        aid_t % nz], axis=-1).astype(volume.dtype)
+    av_t = jax.lax.bitcast_convert_type(filled[:, 5:13], jnp.float32)
+    case_t = (filled[:, 3] >> (4 * tet_of)) & 15        # (T,)
+    bp = filled[:, 4]
+    base_t = jnp.stack([(bp >> 20) & 1023, (bp >> 10) & 1023,
+                        bp & 1023], axis=-1).astype(volume.dtype)
 
     # Static edge tables flattened over (tet, k, case) -> 192 combos of
     # (3 verts x 8 corners) one-hot endpoint selectors.
@@ -283,14 +315,16 @@ def marching_tets(volume: jnp.ndarray, iso: float,
 
     normals_out = None
     if normal_volume is not None:
-        # node gradients at the 8 corners of ACTIVE cubes only
-        nv_flat = normal_volume.reshape(-1, 3)
-        grad_cols = []
-        for dx, dy, dz in _CUBE_CORNERS:
-            flat = ((aix + dx) * Y + (aiy + dy)) * Z + (aiz + dz)
-            grad_cols.append(nv_flat[flat])
-        gv = jnp.stack(grad_cols, axis=1)               # (A, 8, 3)
-        gv_t = gv[cube_of]                              # (T, 8, 3)
+        # unpack the carried bf16 corner-gradient pairs: (T, 12) i32 ->
+        # (T, 24) bf16 -> (T, 8, 3) f32 (bf16 direction error disappears
+        # in the final normalization)
+        g32 = filled[:, 13:25]
+        lo = jax.lax.bitcast_convert_type(
+            (g32 & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type(
+            ((g32 >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+        gv_t = jnp.stack([lo, hi], axis=-1).reshape(-1, 8, 3) \
+            .astype(jnp.float32)                        # (T, 8, 3)
         na = jnp.einsum("tvh,thx->tvx", sa, gv_t)       # (T, 3, 3)
         nb = jnp.einsum("tvh,thx->tvx", sb, gv_t)
         n = na + (nb - na) * tt[..., None]

@@ -116,6 +116,15 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
     T = clip_verts.shape[0]
     K = window
 
+    # Pad the soup to a power-of-two triangle count: candidate ids become
+    # slot * Tp + tri, so the id<->(tri, slot) decode is shift/and — an
+    # integer div/mod over millions of candidates costs ~200 ms on v5e
+    # (int32 division is not a native VPU op), shifts are free.
+    Tp = 1 << max(T - 1, 1).bit_length()
+    if Tp != T:
+        clip_verts = jnp.pad(clip_verts, ((0, Tp - T), (0, 0), (0, 0)))
+        valid_tris = jnp.pad(valid_tris, (0, Tp - T))
+
     w = clip_verts[..., 3]
     w_ok = jnp.all(w > 1e-8, axis=-1) & valid_tris
     w_safe = jnp.where(jnp.abs(w) < 1e-8, 1.0, w)
@@ -152,70 +161,70 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
     eps = -1e-6
     inv_area = 1.0 / jnp.where(jnp.abs(area2) < 1e-12, 1.0, area2)
 
-    def candidate_quantities(tri, slot):
-        """Recompute (pixel id, w0, w1, z, ok) for candidate slots —
-        called once over (T, K*K) to build the coverage MASK (nothing
-        else materializes at candidate resolution) and once over the
-        compacted survivors."""
-        cy_i = min_y[tri] + dyx[slot, 0]
-        cx_i = min_x[tri] + dyx[slot, 1]
-        in_img = ((cx_i >= 0) & (cx_i < width) &
-                  (cy_i >= 0) & (cy_i < height))
-        fx = cx_i.astype(px.dtype)
-        fy = cy_i.astype(py.dtype)
-        w0 = ((cx - bx)[tri] * (fy - by[tri])
-              - (cy - by)[tri] * (fx - bx[tri])) * inv_area[tri]
-        w1 = ((ax - cx)[tri] * (fy - cy[tri])
-              - (ay - cy)[tri] * (fx - cx[tri])) * inv_area[tri]
-        w2 = 1.0 - w0 - w1
-        z = w0 * pz[tri, 0] + w1 * pz[tri, 1] + w2 * pz[tri, 2]
-        ok = ((w0 >= eps) & (w1 >= eps) & (w2 >= eps) & in_img
-              & (z >= -1.0) & (z <= 1.0))
-        return cy_i * width + cx_i, w0, w1, z, ok
+    # Dense candidate pass in (K*K, Tp) orientation: Tp on the minor
+    # (lane) axis keeps the VPU fully occupied (a (T, 16) layout pads 16
+    # lanes to 128), per-triangle rows broadcast with ZERO gathers
+    # (indexing per-tri arrays with a broadcast (T, K*K) index inside the
+    # fused loop re-runs one serial gather per candidate — ~12 gathers x
+    # 16.7M candidates was ~140 ms of this pass), and everything the
+    # z-resolve needs later (pixel id, z, w0, w1) is materialized HERE so
+    # the compacted/winner stages do 2 flat-array gathers instead of 12
+    # per-triangle row gathers (~25M random gathered elem/s on v5e).
+    slot_col = jnp.arange(K * K, dtype=jnp.int32)[:, None]
+    cy_d = min_y[None, :] + dyx[slot_col, 0]            # (K*K, Tp)
+    cx_d = min_x[None, :] + dyx[slot_col, 1]
+    in_img = ((cx_d >= 0) & (cx_d < width) & (cy_d >= 0) & (cy_d < height))
+    fx_d = cx_d.astype(px.dtype)
+    fy_d = cy_d.astype(py.dtype)
+    w0_d = ((cx - bx)[None, :] * (fy_d - by[None, :])
+            - (cy - by)[None, :] * (fx_d - bx[None, :])) * inv_area[None, :]
+    w1_d = ((ax - cx)[None, :] * (fy_d - cy[None, :])
+            - (ay - cy)[None, :] * (fx_d - cx[None, :])) * inv_area[None, :]
+    w2_d = 1.0 - w0_d - w1_d
+    z_d = (w0_d * pz[None, :, 0] + w1_d * pz[None, :, 1]
+           + w2_d * pz[None, :, 2])
+    ok_d = ((w0_d >= eps) & (w1_d >= eps) & (w2_d >= eps) & in_img
+            & (z_d >= -1.0) & (z_d <= 1.0) & tri_main[None, :])
 
-    tri_all = jnp.arange(T, dtype=jnp.int32)[:, None]
-    slot_all = jnp.arange(K * K, dtype=jnp.int32)[None, :]
-    _, _, _, _, ok_all = candidate_quantities(tri_all, slot_all)
-    valid = ok_all & tri_main[:, None]                  # (T, K*K) bool only
+    # Flat candidate id = slot * Tp + tri (C-order flatten, no transpose).
+    valid = ok_d.reshape(-1)
+    pix_d = (cy_d * width + cx_d).reshape(-1)
+    z_flat = z_d.reshape(-1)
+    w0_flat = w0_d.reshape(-1)
+    w1_flat = w1_d.reshape(-1)
 
     # Compact covered candidates before the z-resolve: a K x K window over
-    # ~1-3 px triangles leaves ~90% of candidates invalid, and the three
-    # resolve passes (2 combining scatters + 1 scalar gather) dominate the
-    # kernel (~145 ms each at 16.7M candidates on v5e). Only the bool mask
-    # exists at candidate resolution; pixel ids/weights/depths are
-    # recomputed for the compacted survivors (a few flops each vs 100s of
-    # MB of candidate-sized intermediates). Static capacity: overflowing
-    # candidates are dropped AND reported via `overflow` — size it by the
-    # expected covered-candidate count (default T, ~2 covered px/triangle).
+    # ~1-3 px triangles leaves ~90% of candidates invalid, so the two
+    # scatter-min resolve passes run on the ~T survivors instead of
+    # T * K*K slots (scatter ~60M updates/s on v5e). Static capacity:
+    # overflowing candidates are dropped AND reported via `overflow` —
+    # size it by the expected covered-candidate count (default T,
+    # ~2 covered px/triangle).
     max_c = max_candidates if max_candidates > 0 else max(T, 1 << 16)
     from avatarcap_tpu.ops.compaction import compact_mask_indices
-    cand_of, n_covered, c_live = compact_mask_indices(valid.reshape(-1),
-                                                      max_c)
+    cand_of, n_covered, c_live = compact_mask_indices(valid, max_c)
     overflow = n_covered > max_c
     cand_of = jax.lax.optimization_barrier(cand_of)
-    cand_safe = cand_of  # padded entries are 0; masked below
-    pix_c, _, _, z_cand, _ = candidate_quantities(cand_safe // (K * K),
-                                                  cand_safe % (K * K))
-    pix_c = jnp.where(c_live, pix_c, height * width)
-    z_c = jnp.where(c_live, z_cand, jnp.inf)
+    pix_c = jnp.where(c_live, pix_d[cand_of], height * width)
+    z_c = jnp.where(c_live, z_flat[cand_of], jnp.inf)
 
     npix = height * width
     # Pass 1: min depth per pixel (+1 sentinel slot for invalid writes).
     zbuf = jnp.full((npix + 1,), jnp.inf, z_c.dtype).at[pix_c].min(z_c)
     # Pass 2: min candidate id among exact depth winners.
     is_winner = (z_c == zbuf[pix_c]) & (z_c < jnp.inf)
-    win_ids = jnp.where(is_winner, cand_safe, jnp.iinfo(jnp.int32).max)
+    win_ids = jnp.where(is_winner, cand_of, jnp.iinfo(jnp.int32).max)
     winner = jnp.full((npix + 1,), jnp.iinfo(jnp.int32).max,
                       jnp.int32).at[pix_c].min(win_ids)
 
     mask = (winner[:npix] != jnp.iinfo(jnp.int32).max)
     safe_winner = jnp.where(mask, winner[:npix], 0)
-    tri_of = safe_winner // (K * K)
+    tri_of = safe_winner & (Tp - 1)                     # tri of slot-major id
 
-    # Perspective-correct weights at winners (recomputed at P pixels).
-    _, w0w, w1w, _, _ = candidate_quantities(tri_of,
-                                             safe_winner % (K * K))
-    bw = _perspective_weights(w0w, w1w, iw[tri_of])     # (P, 3)
+    # Perspective-correct weights at winners (2 flat gathers + 1 row
+    # gather at P pixels).
+    bw = _perspective_weights(w0_flat[safe_winner], w1_flat[safe_winner],
+                              iw[tri_of])               # (P, 3)
     out_depth = jnp.where(mask, zbuf[:npix], jnp.inf)
 
     if big_tri_capacity > 0:

@@ -105,10 +105,76 @@ def build_capture_grid(statics, cano_v: np.ndarray,
     return grid, n_valid
 
 
+def fit_template_to_body(module, avatar_vars, statics, steps: int = 300,
+                         n_pts: int = 16384, lr: float = 1e-3):
+    """Fit the template geo MLP to the toy body's approximate SDF.
+
+    A freshly-initialized DoubleTNet outputs ~0 everywhere — exactly the
+    marching-cubes iso level — so the extracted "surface" is init noise
+    filling the whole near-body band, saturating any triangle budget and
+    overstating every mesh-sized downstream cost by 2-3x. A real capture
+    run loads a TRAINED avatar (reference main.py:300-306) whose surface
+    is one smooth body. ~300 Adam steps against the toy body's signed
+    nearest-vertex distance (inside-positive, clipped to +-5 cm like the
+    trainer's sdf band) give the benchmark mesh trained-avatar statistics
+    in a few seconds, with the exact same per-point query compute.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.ops.knn import knn
+
+    verts = statics.cano_smpl_vertices
+    center = statics.cano_smpl_center
+    lo, hi = statics.cano_bounds[0], statics.cano_bounds[1]
+
+    def target_sdf(pts):
+        d2, idx = knn(pts, verts, k=1)
+        inside = (jnp.linalg.norm(pts - center, axis=-1)
+                  < jnp.linalg.norm(verts[idx[:, 0]] - center, axis=-1))
+        d = jnp.sqrt(jnp.maximum(d2[:, 0], 0.0))
+        return jnp.clip(jnp.where(inside, d, -d), -0.05, 0.05)
+
+    tpl = avatar_vars["params"]["cano_template"]
+    frozen = {k: v for k, v in avatar_vars["params"].items()
+              if k != "cano_template"}
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(tpl, opt_state, rng):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        # half uniform in bounds, half gaussian around body vertices
+        pu = jax.random.uniform(k1, (n_pts // 2, 3)) * (hi - lo) + lo
+        vi = jax.random.randint(k2, (n_pts // 2,), 0, verts.shape[0])
+        pn = verts[vi] + 0.03 * jax.random.normal(rng, (n_pts // 2, 3))
+        pts = jnp.concatenate([pu, pn])
+        tgt = target_sdf(pts)
+
+        def loss_fn(tpl):
+            var = {"params": dict(frozen, cano_template=tpl)}
+            _, _, occ = module.apply(var, pts,
+                                     method=GeoTexAvatar.query_template)
+            return jnp.mean((occ[:, 0] - tgt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(tpl)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(tpl, upd), opt_state, rng, loss
+
+    opt_state = opt.init(tpl)
+    rng = jax.random.PRNGKey(7)
+    for _ in range(steps):
+        tpl, opt_state, rng, loss = step(tpl, opt_state, rng)
+    new_vars = dict(avatar_vars)
+    new_vars["params"] = dict(frozen, cano_template=tpl)
+    return new_vars, float(loss)
+
+
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                       fusion_iters=100, max_tris=1 << 20,
                       max_active=1 << 18, pos_map_res=256,
-                      use_fused_query=None, dense: bool = True):
+                      use_fused_query=None, dense: bool = True,
+                      fit_template: bool = True):
     """Full-size AvatarCapture + one frame item (BASELINE config #4).
 
     Returns dict(capture, item, cam, inferred_normal, n_valid, params,
@@ -128,6 +194,8 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     avatar_vars = jax.jit(module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), pos_map,
         statics.cano_smpl_center[None])
+    if fit_template:
+        avatar_vars, _ = fit_template_to_body(module, avatar_vars, statics)
     recon = ReconNetwork()
     recon_vars = jax.jit(recon.init)(
         jax.random.PRNGKey(1), jnp.zeros((1, render_res, render_res, 6)),
