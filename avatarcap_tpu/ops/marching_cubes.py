@@ -115,6 +115,165 @@ _NTRIS_TABLE, _EDGES_TABLE = _build_tet_tables()
 MAX_TRIS_PER_CUBE = 12  # 6 tets x up to 2
 
 
+def _build_mc256_tables():
+    """Derive a classic-style 256-case marching-cubes table from the tet
+    decomposition — no hand-typed LUT.
+
+    Marching tetrahedra triangulate the same isosurface with ~3x the
+    triangles of 256-case marching cubes because tet edges (face/body
+    diagonals) insert extra vertices. For each cube case this builds the
+    tet patch at canonical corner values (+-1), groups triangles into
+    connected components, walks each component's boundary loop, deletes
+    the diagonal-edge vertices (every deleted vertex lies on a cube face
+    between two kept cube-edge vertices, so deletion just straightens the
+    face contour — the resolution of ambiguous cases stays exactly the
+    tet decomposition's, hence crack-free against neighbors), orients the
+    loop by the tet patch's normals, and emits a triangle fan.
+
+    Returns:
+      ntris: (256,) int32 triangle counts (max = MC256_MAX_TRIS).
+      edges: (256, E, 3, 2) int32 cube-corner endpoint pairs, -1 padded.
+    """
+    pos = _CUBE_CORNERS.astype(np.float64)
+
+    def is_cube_edge(a, b):
+        return int(np.sum(pos[a] != pos[b])) == 1
+
+    all_tris_per_case = []
+    for case in range(256):
+        # 1. tet patch triangles as corner-pair keyed vertices
+        tris = []
+        for t in range(6):
+            tet = _TETS[t]
+            tcase = sum(((case >> int(tet[i])) & 1) << i for i in range(4))
+            for k in range(int(_NTRIS_TABLE[t, tcase])):
+                tri = []
+                for v in range(3):
+                    e0, e1 = _EDGES_TABLE[t, tcase, k, v]
+                    tri.append((min(int(e0), int(e1)),
+                                max(int(e0), int(e1))))
+                tris.append(tri)
+        if not tris:
+            all_tris_per_case.append([])
+            continue
+
+        vpos = {key: 0.5 * (pos[key[0]] + pos[key[1]])
+                for tri in tris for key in tri}
+
+        def tri_normal(tri):
+            a, b, c = (vpos[k] for k in tri)
+            return np.cross(b - a, c - a)
+
+        # 2. connected components over shared sides
+        parent = list(range(len(tris)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        side_map = {}
+        for i, tri in enumerate(tris):
+            for v in range(3):
+                s = frozenset((tri[v], tri[(v + 1) % 3]))
+                if len(s) < 2:
+                    continue
+                if s in side_map:
+                    a, b = find(side_map[s]), find(i)
+                    parent[a] = b
+                else:
+                    side_map[s] = i
+
+        comps = {}
+        for i in range(len(tris)):
+            comps.setdefault(find(i), []).append(i)
+
+        case_tris = []
+        for members in comps.values():
+            # 3. boundary sides (used exactly once within the component)
+            count = {}
+            for i in members:
+                tri = tris[i]
+                for v in range(3):
+                    s = frozenset((tri[v], tri[(v + 1) % 3]))
+                    if len(s) == 2:
+                        count[s] = count.get(s, 0) + 1
+            nbr = {}
+            for s, c in count.items():
+                if c == 1:
+                    a, b = tuple(s)
+                    nbr.setdefault(a, []).append(b)
+                    nbr.setdefault(b, []).append(a)
+            assert all(len(v) == 2 for v in nbr.values()), \
+                f"case {case}: non-manifold patch boundary"
+            # 4. walk ALL boundary loops. A component can be a tube with
+            # two loops (e.g. case 65: both main-diagonal corners inside);
+            # each loop becomes its own flat sheet — exactly classic MC's
+            # choice, and crack-free because neighbors only share the
+            # per-face contours, which are unchanged.
+            unvisited = set(nbr)
+            loops = []
+            while unvisited:
+                start = next(iter(unvisited))
+                loop = [start]
+                prev, cur = None, start
+                while True:
+                    a, b = nbr[cur]
+                    nxt = b if a == prev else a
+                    if nxt == start:
+                        break
+                    loop.append(nxt)
+                    prev, cur = cur, nxt
+                unvisited -= set(loop)
+                loops.append(loop)
+
+            def grad_at(p):
+                """Gradient of the canonical (+-1) trilinear field."""
+                g = np.zeros(3)
+                for c8 in range(8):
+                    v = 1.0 if (case >> c8) & 1 else -1.0
+                    w = [(pos[c8][d] * p[d] + (1 - pos[c8][d]) * (1 - p[d]))
+                         for d in range(3)]
+                    for d in range(3):
+                        o = [w[0], w[1], w[2]]
+                        o[d] = 2.0 * pos[c8][d] - 1.0
+                        g[d] += v * o[0] * o[1] * o[2]
+                return g
+
+            for loop in loops:
+                # 5. drop diagonal vertices; only cube-edge crossings stay
+                kept = [k for k in loop if is_cube_edge(*k)]
+                assert len(kept) >= 3, f"case {case}: degenerate loop"
+                # 6. orient: normals point toward the lower-valued side
+                # (outward), i.e. along -grad at the loop centroid
+                centroid = np.mean([vpos[k] for k in kept], axis=0)
+                ref = -grad_at(centroid)
+                fan_n = np.zeros(3)
+                for i in range(1, len(kept) - 1):
+                    a, b, c = (vpos[kept[0]], vpos[kept[i]],
+                               vpos[kept[i + 1]])
+                    fan_n += np.cross(b - a, c - a)
+                if np.dot(fan_n, ref) < 0:
+                    kept.reverse()
+                for i in range(1, len(kept) - 1):
+                    case_tris.append([kept[0], kept[i], kept[i + 1]])
+        all_tris_per_case.append(case_tris)
+
+    E = max(len(t) for t in all_tris_per_case)
+    ntris = np.array([len(t) for t in all_tris_per_case], np.int32)
+    edges = np.full((256, E, 3, 2), -1, np.int32)
+    for c, case_tris in enumerate(all_tris_per_case):
+        for k, tri in enumerate(case_tris):
+            for v, (e0, e1) in enumerate(tri):
+                edges[c, k, v] = (e0, e1)
+    return ntris, edges
+
+
+_NTRIS256, _EDGES256 = _build_mc256_tables()
+MC256_MAX_TRIS = int(_EDGES256.shape[1])
+
+
 class Mesh(NamedTuple):
     """Fixed-capacity triangle soup. faces are implicit: triangle i uses
     vertices (3i, 3i+1, 3i+2). ``num_tris`` counts the valid prefix."""
@@ -136,13 +295,15 @@ def _corner_values(volume: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(vals, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_tris", "max_active"))
+@functools.partial(jax.jit, static_argnames=("max_tris", "max_active",
+                                             "method"))
 def marching_tets(volume: jnp.ndarray, iso: float,
                   bounds_min: jnp.ndarray, voxel_size: jnp.ndarray,
                   max_tris: int = 1 << 20,
                   max_active: int = 1 << 18,
                   pad_value: float = 0.0,
-                  normal_volume: jnp.ndarray = None) -> Mesh:
+                  normal_volume: jnp.ndarray = None,
+                  method: str = "mc256") -> Mesh:
     """Extract the iso-surface of a dense scalar volume.
 
     Args:
@@ -162,6 +323,12 @@ def marching_tets(volume: jnp.ndarray, iso: float,
         trilinear resample at 3*max_tris scattered points
         (reference utils/recon_util.py:32-48), which is ~10x the gather
         traffic for sub-voxel-identical directions.
+      method: 'mc256' (default) triangulates each cube with the derived
+        256-case table (~2.3 tris per active cube on smooth surfaces,
+        like the reference's skimage MC); 'tets' triangulates the 6-tet
+        decomposition (~6.6 tris/cube — same surface, 3x the triangles,
+        kept for cross-validation). Both resolve ambiguous cases with
+        the tet decomposition's topology, so either output is crack-free.
     """
     X, Y, Z = volume.shape
     nx, ny, nz = X - 1, Y - 1, Z - 1
@@ -197,25 +364,36 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     av, active_ids = jax.lax.optimization_barrier((av, active_ids))
     a_inside = (av > iso).astype(jnp.int32)            # (A, 8)
 
-    # Per-tet case index: bit i = corner i of the tet inside.
-    # _TETS is static numpy, so these are compile-time column picks.
-    cases = jnp.zeros((max_active, 6), jnp.int32)
-    for i in range(4):
-        cases = cases + (a_inside[:, _TETS[:, i]] << i)
+    if method == "mc256":
+        case8 = jnp.sum(a_inside << jnp.arange(8, dtype=jnp.int32)[None, :],
+                        axis=-1)                        # (A,) 0..255
+        oh256 = jax.nn.one_hot(case8, 256, dtype=av.dtype)
+        cube_counts = jnp.einsum(
+            "ac,c->a", oh256,
+            jnp.asarray(_NTRIS256, av.dtype)).astype(jnp.int32)
+        cube_counts = jnp.where(active_valid, cube_counts, 0)
+    else:
+        # Per-tet case index: bit i = corner i of the tet inside.
+        # _TETS is static numpy, so these are compile-time column picks.
+        cases = jnp.zeros((max_active, 6), jnp.int32)
+        for i in range(4):
+            cases = cases + (a_inside[:, _TETS[:, i]] << i)
 
-    # Table lookup as one-hot matmul: TPU-friendly (tiny gathers with
-    # unaligned trailing dims are pathologically slow on TPU).
-    cases_1h = jax.nn.one_hot(cases, 16, dtype=av.dtype)  # (A, 6, 16)
-    ntris_table = jnp.asarray(_NTRIS_TABLE, av.dtype)     # (6, 16)
-    tcounts = jnp.einsum("atc,tc->at", cases_1h, ntris_table).astype(jnp.int32)
-    tcounts = jnp.where(active_valid[:, None], tcounts, 0)
+        # Table lookup as one-hot matmul: TPU-friendly (tiny gathers with
+        # unaligned trailing dims are pathologically slow on TPU).
+        cases_1h = jax.nn.one_hot(cases, 16, dtype=av.dtype)  # (A, 6, 16)
+        ntris_table = jnp.asarray(_NTRIS_TABLE, av.dtype)     # (6, 16)
+        tcounts = jnp.einsum("atc,tc->at", cases_1h,
+                             ntris_table).astype(jnp.int32)
+        tcounts = jnp.where(active_valid[:, None], tcounts, 0)
+        cube_counts = tcounts.sum(axis=1)               # (A,) 0..12
 
-    # Triangle bookkeeping: per-cube totals -> cumulative sums (A-long —
-    # a 262k binary search instead of one over all A*6 slots).
-    cube_counts = tcounts.sum(axis=1)                   # (A,) 0..12
+    # Triangle bookkeeping: per-cube totals -> cumulative output starts.
     cube_cum = jnp.cumsum(cube_counts)
     total_tris = cube_cum[-1]
-    overflow = total_tris > max_tris
+    # overflow covers BOTH capacities: triangles past max_tris are cut,
+    # and actives past max_active were never even triangulated
+    overflow = (total_tris > max_tris) | (n_active > max_active)
 
     # Per-output-triangle emission: triangle j's source cube comes from a
     # scatter of each cube's id at its first output slot followed by an
@@ -236,15 +414,22 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     # v5e — ~300 ms for av/cases/ids at 1M triangles — while the fill is
     # bandwidth-bound (~5 ms/channel).
     from avatarcap_tpu.ops.compaction import prefix_fill_max
-    pref_c = jnp.cumsum(tcounts, axis=1)                # (A, 6)
-    pref_packed = jnp.sum(pref_c << (4 * jnp.arange(6, dtype=jnp.int32))
-                          [None, :], axis=1).astype(jnp.int32)
-    cases_packed = jnp.sum(cases << (4 * jnp.arange(6, dtype=jnp.int32))
-                           [None, :], axis=1).astype(jnp.int32)
     base_packed = (aix << 20) | (aiy << 10) | aiz       # 10 bits each
     A_cap = cube_cum.shape[0]
-    carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
-                  pref_packed, cases_packed, base_packed]
+    if method == "mc256":
+        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
+                      case8, base_packed]
+    else:
+        pref_c = jnp.cumsum(tcounts, axis=1)            # (A, 6)
+        pref_packed = jnp.sum(
+            pref_c << (4 * jnp.arange(6, dtype=jnp.int32))[None, :],
+            axis=1).astype(jnp.int32)
+        cases_packed = jnp.sum(
+            cases << (4 * jnp.arange(6, dtype=jnp.int32))[None, :],
+            axis=1).astype(jnp.int32)
+        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
+                      pref_packed, cases_packed, base_packed]
+    av_col0 = len(carry_cols)
     carry_cols += [jax.lax.bitcast_convert_type(av[:, i], jnp.int32)
                    for i in range(8)]
 
@@ -265,40 +450,62 @@ def marching_tets(volume: jnp.ndarray, iso: float,
                     jnp.iinfo(jnp.int32).min, jnp.int32).at[start_slot].max(
         jnp.stack(carry_cols, axis=-1), mode="drop")[:max_tris]
     filled = prefix_fill_max(seed)
-    r = tri_j - jnp.maximum(filled[:, 1], 0)            # 0..11
-    pp = filled[:, 2]
-    pref = jnp.stack([(pp >> (4 * i)) & 15 for i in range(6)], axis=-1)
-    tet_of = jnp.sum((r[:, None] >= pref).astype(jnp.int32), axis=1)
-    tet_of = jnp.minimum(tet_of, 5)
-    prev = jnp.where(tet_of > 0,
-                     jnp.take_along_axis(pref,
-                                         jnp.maximum(tet_of - 1, 0)[:, None],
-                                         axis=1)[:, 0], 0)
-    k_of = jnp.clip(r - prev, 0, 1)
+    r = tri_j - jnp.maximum(filled[:, 1], 0)            # slot within cube
 
-    av_t = jax.lax.bitcast_convert_type(filled[:, 5:13], jnp.float32)
-    case_t = (filled[:, 3] >> (4 * tet_of)) & 15        # (T,)
-    bp = filled[:, 4]
+    av_t = jax.lax.bitcast_convert_type(
+        filled[:, av_col0:av_col0 + 8], jnp.float32)
+    bp = filled[:, av_col0 - 1]
     base_t = jnp.stack([(bp >> 20) & 1023, (bp >> 10) & 1023,
                         bp & 1023], axis=-1).astype(volume.dtype)
 
-    # Static edge tables flattened over (tet, k, case) -> 192 combos of
-    # (3 verts x 8 corners) one-hot endpoint selectors.
-    sel_a = np.zeros((6, 2, 16, 3, 8), np.float32)
-    sel_b = np.zeros((6, 2, 16, 3, 8), np.float32)
-    for t in range(6):
-        for k in range(2):
-            for c16 in range(16):
-                for v3 in range(3):
-                    e0, e1 = _EDGES_TABLE[t, c16, k, v3]
-                    sel_a[t, k, c16, v3, max(int(e0), 0)] = 1.0
-                    sel_b[t, k, c16, v3, max(int(e1), 0)] = 1.0
-    sel_a192 = jnp.asarray(sel_a.reshape(192, 24))
-    sel_b192 = jnp.asarray(sel_b.reshape(192, 24))
-    combo = (tet_of * 2 + k_of) * 16 + case_t           # (T,)
-    oh = jax.nn.one_hot(combo, 192, dtype=volume.dtype)  # (T, 192)
-    sa = jnp.matmul(oh, sel_a192).reshape(-1, 3, 8)     # (T, 3, 8)
-    sb = jnp.matmul(oh, sel_b192).reshape(-1, 3, 8)
+    iota8 = jnp.arange(8, dtype=volume.dtype)
+    if method == "mc256":
+        # Per-case (E, 3 verts, [e0, e1]) endpoint-index table selected by
+        # case one-hot matmul, then the r-th row by a second tiny one-hot;
+        # the (T, 3, 8) selectors come from iota comparison — no gathers.
+        E = MC256_MAX_TRIS
+        spec = np.zeros((256, E, 6), np.float32)
+        for c in range(256):
+            for k in range(E):
+                for v in range(3):
+                    spec[c, k, 2 * v] = _EDGES256[c, k, v, 0]
+                    spec[c, k, 2 * v + 1] = _EDGES256[c, k, v, 1]
+        ohc = jax.nn.one_hot(filled[:, 2], 256, dtype=volume.dtype)
+        sp = jnp.matmul(ohc, jnp.asarray(spec.reshape(256, E * 6))
+                        ).reshape(-1, E, 6)             # (T, E, 6)
+        ohr = jax.nn.one_hot(jnp.clip(r, 0, E - 1), E, dtype=volume.dtype)
+        s6 = jnp.einsum("te,tec->tc", ohr, sp)          # (T, 6)
+        sa = (s6[:, 0::2][:, :, None] == iota8).astype(volume.dtype)
+        sb = (s6[:, 1::2][:, :, None] == iota8).astype(volume.dtype)
+    else:
+        pp = filled[:, 2]
+        pref = jnp.stack([(pp >> (4 * i)) & 15 for i in range(6)], axis=-1)
+        tet_of = jnp.sum((r[:, None] >= pref).astype(jnp.int32), axis=1)
+        tet_of = jnp.minimum(tet_of, 5)
+        prev = jnp.where(tet_of > 0,
+                         jnp.take_along_axis(
+                             pref, jnp.maximum(tet_of - 1, 0)[:, None],
+                             axis=1)[:, 0], 0)
+        k_of = jnp.clip(r - prev, 0, 1)
+        case_t = (filled[:, 3] >> (4 * tet_of)) & 15    # (T,)
+
+        # Static edge tables flattened over (tet, k, case) -> 192 combos
+        # of (3 verts x 8 corners) one-hot endpoint selectors.
+        sel_a = np.zeros((6, 2, 16, 3, 8), np.float32)
+        sel_b = np.zeros((6, 2, 16, 3, 8), np.float32)
+        for t in range(6):
+            for k in range(2):
+                for c16 in range(16):
+                    for v3 in range(3):
+                        e0, e1 = _EDGES_TABLE[t, c16, k, v3]
+                        sel_a[t, k, c16, v3, max(int(e0), 0)] = 1.0
+                        sel_b[t, k, c16, v3, max(int(e1), 0)] = 1.0
+        sel_a192 = jnp.asarray(sel_a.reshape(192, 24))
+        sel_b192 = jnp.asarray(sel_b.reshape(192, 24))
+        combo = (tet_of * 2 + k_of) * 16 + case_t       # (T,)
+        oh = jax.nn.one_hot(combo, 192, dtype=volume.dtype)  # (T, 192)
+        sa = jnp.matmul(oh, sel_a192).reshape(-1, 3, 8)  # (T, 3, 8)
+        sb = jnp.matmul(oh, sel_b192).reshape(-1, 3, 8)
 
     corner_off = jnp.asarray(_CUBE_CORNERS, volume.dtype)  # (8, 3)
     va = jnp.einsum("tvh,th->tv", sa, av_t)             # (T, 3)
@@ -318,7 +525,7 @@ def marching_tets(volume: jnp.ndarray, iso: float,
         # unpack the carried bf16 corner-gradient pairs: (T, 12) i32 ->
         # (T, 24) bf16 -> (T, 8, 3) f32 (bf16 direction error disappears
         # in the final normalization)
-        g32 = filled[:, 13:25]
+        g32 = filled[:, av_col0 + 8:av_col0 + 20]
         lo = jax.lax.bitcast_convert_type(
             (g32 & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
         hi = jax.lax.bitcast_convert_type(

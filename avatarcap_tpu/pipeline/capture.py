@@ -59,13 +59,15 @@ class CaptureMesh(NamedTuple):
     normals: jnp.ndarray       # (3*max_tris, 3)
     num_tris: jnp.ndarray      # ()
     valid: jnp.ndarray         # (max_tris,) bool
+    overflow: jnp.ndarray = None  # () bool: max_tris or max_active hit
 
 
 @dataclasses.dataclass(frozen=True)
 class CaptureOptions:
     iso_value: float = 0.0          # 0 sdf / 0.5 occupancy
     max_tris: int = 1 << 20
-    max_active: int = 1 << 18
+    max_active: int = 1 << 19   # ~2.3 tris/cube (mc256): actives can
+    # outnumber max_tris/2; overflow is reported on the mesh either way
     render_res: int = 512
     raster_window: int = 4
     fusion_iters: int = 100
@@ -107,7 +109,8 @@ def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
         grid_coords = mesh_grid_coords(mesh.vertices, bounds)
         normals = sample_volume_normals(vol, voxel, grid_coords)
     valid = jnp.arange(max_tris) < mesh.num_tris
-    return CaptureMesh(mesh.vertices, normals, mesh.num_tris, valid)
+    return CaptureMesh(mesh.vertices, normals, mesh.num_tris, valid,
+                       mesh.overflow)
 
 
 class AvatarCapture:
@@ -233,7 +236,8 @@ class AvatarCapture:
                                               return_pt_mats=True)
             live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
                                 mesh.normals, precision="highest")
-            return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid), \
+            return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid,
+                               mesh.overflow), \
                 pt_mats
 
         if o.use_fused_query and recon_vars is not None:

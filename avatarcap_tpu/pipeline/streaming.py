@@ -86,7 +86,8 @@ class StreamingCapture:
                 # capture.py / reference utils/smpl_util.py:69-81
                 live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
                                     m.normals, precision="highest")
-                return m, CaptureMesh(live_v, live_n, m.num_tris, m.valid)
+                return m, CaptureMesh(live_v, live_n, m.num_tris, m.valid,
+                                      m.overflow)
 
             return jax.vmap(per_frame)(pos_maps, cano2live)
 

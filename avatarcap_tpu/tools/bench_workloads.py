@@ -170,9 +170,80 @@ def fit_template_to_body(module, avatar_vars, statics, steps: int = 300,
     return new_vars, float(loss)
 
 
+def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
+                      steps: int = 200, batch: int = 65536, lr: float = 1e-3):
+    """Fit ReconNet's pixel-aligned decoder to the toy body occupancy.
+
+    Same rationale as fit_template_to_body: a random-init decoder puts
+    occupancy ~0.5 everywhere, so the recon stage's marching cubes
+    triangulates noise across the whole near-body band. Fitting the
+    decoder on the features it actually sees (the HGFilter map of the
+    benchmark normal images, pixel-aligned-fetched at the capture grid)
+    against the body inside/outside flag gives the recon mesh
+    trained-network statistics with identical per-point decode compute.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from avatarcap_tpu.models.recon import ReconNetwork
+    from avatarcap_tpu.pipeline.avatar import grid_pose_features
+    from avatarcap_tpu.ops.knn import knn
+
+    img = jnp.concatenate(
+        [jnp.asarray(inferred_normal),
+         jnp.zeros_like(jnp.asarray(inferred_normal))], axis=-1)[None]
+    feat_map = jax.jit(
+        lambda v, im: recon.apply(v, im, method=ReconNetwork.get_feat_maps)
+    )(recon_vars, img)
+    pf = grid_pose_features(feat_map, statics, grid.vol_res, grid.valid_idx)
+    z = grid.valid_pts[:, 2] - statics.cano_smpl_center[2]
+    feats = jnp.concatenate([pf, z[:, None]], axis=-1)      # (N, 33)
+
+    @jax.jit
+    def targets(pts):
+        d2, idx = knn(pts, statics.cano_smpl_vertices, k=1)
+        inside = (jnp.linalg.norm(pts - statics.cano_smpl_center, axis=-1)
+                  < jnp.linalg.norm(
+                      statics.cano_smpl_vertices[idx[:, 0]]
+                      - statics.cano_smpl_center, axis=-1))
+        return inside.astype(jnp.float32)
+
+    dec = recon_vars["params"]["image_decoder"]
+    frozen = {k: v for k, v in recon_vars["params"].items()
+              if k != "image_decoder"}
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(dec, opt_state, rng):
+        rng, k1 = jax.random.split(rng)
+        idx = jax.random.randint(k1, (batch,), 0, feats.shape[0])
+        f = feats[idx]
+        tgt = targets(grid.valid_pts[idx])
+
+        def loss_fn(dec):
+            from avatarcap_tpu.models.mlp import MLP
+            mlp = MLP(out_channels=1, inter_channels=(512, 256, 128),
+                      res_layers=(1, 2), nlactv="leaky_relu",
+                      last_op="sigmoid", weight_norm=True)
+            occ = mlp.apply({"params": dec}, f)[:, 0]
+            return jnp.mean((occ - tgt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(dec)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(dec, upd), opt_state, rng, loss
+
+    opt_state = opt.init(dec)
+    rng = jax.random.PRNGKey(11)
+    for _ in range(steps):
+        dec, opt_state, rng, loss = step(dec, opt_state, rng)
+    out = dict(recon_vars)
+    out["params"] = dict(frozen, image_decoder=dec)
+    return out, float(loss)
+
+
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                       fusion_iters=100, max_tris=1 << 20,
-                      max_active=1 << 18, pos_map_res=256,
+                      max_active=1 << 19, pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
                       fit_template: bool = True):
     """Full-size AvatarCapture + one frame item (BASELINE config #4).
@@ -200,6 +271,11 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     recon_vars = jax.jit(recon.init)(
         jax.random.PRNGKey(1), jnp.zeros((1, render_res, render_res, 6)),
         jnp.zeros((1, 8, 3)), jnp.zeros((1, 3)))
+    inferred_normal = np.zeros((512, 512, 3), np.float32)
+    inferred_normal[128:384, 128:384] = [0.0, 0.0, -1.0]
+    if fit_template:
+        recon_vars, _ = fit_recon_decoder(recon, recon_vars, statics, grid,
+                                          inferred_normal)
 
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
                           render_res=render_res, fusion_iters=fusion_iters)
@@ -221,8 +297,6 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     }
     item["w2c_RT"][2, 3] = 2.0  # camera 2 m in front, looking +z
     cam = {"fx": 5000.0, "fy": 5000.0, "cx": 256.0, "cy": 256.0}
-    inferred_normal = np.zeros((512, 512, 3), np.float32)
-    inferred_normal[128:384, 128:384] = [0.0, 0.0, -1.0]
     return {"capture": capture, "item": item, "cam": cam,
             "inferred_normal": inferred_normal, "n_valid": n_valid,
             "params": params, "statics": statics}

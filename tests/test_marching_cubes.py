@@ -95,3 +95,71 @@ class TestSobelNormals:
         radial /= np.linalg.norm(radial, axis=-1, keepdims=True)
         cos = (normals * radial).sum(-1)
         assert cos.mean() > 0.99  # outward
+
+
+class TestMC256VsTets:
+    """Cross-validate the derived 256-case table against marching tets:
+    same surface (Chamfer ~ sub-voxel), ~2-3x fewer triangles, watertight
+    (every edge shared by exactly two triangles with opposite direction),
+    and consistent outward winding (positive signed volume)."""
+
+    def _soups(self):
+        rng = np.random.RandomState(3)
+        # smooth random blobby volume: sum of gaussians, well inside bounds
+        res = 48
+        lin = np.linspace(-1, 1, res, dtype=np.float32)
+        g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+        sdf = -np.ones((res, res, res), np.float32) * 0.4
+        for _ in range(6):
+            c = rng.uniform(-0.4, 0.4, 3).astype(np.float32)
+            r = rng.uniform(0.2, 0.35)
+            sdf += np.exp(-np.sum((g - c) ** 2, -1) / (r * r)).astype(
+                np.float32)
+        kw = dict(max_tris=1 << 17, max_active=1 << 15)
+        bmin = jnp.asarray([-1.0, -1.0, -1.0])
+        voxel = jnp.full((3,), 2.0 / res)
+        m_tets = marching_tets(jnp.asarray(sdf), 0.0, bmin, voxel,
+                               method="tets", **kw)
+        m_256 = marching_tets(jnp.asarray(sdf), 0.0, bmin, voxel,
+                              method="mc256", **kw)
+        assert not bool(m_tets.overflow) and not bool(m_256.overflow)
+        return m_tets, m_256
+
+    @staticmethod
+    def _valid_tris(mesh):
+        n = int(mesh.num_tris)
+        return np.asarray(mesh.vertices[: 3 * n]).reshape(n, 3, 3)
+
+    def test_fewer_tris_same_surface(self):
+        m_tets, m_256 = self._soups()
+        t_t = self._valid_tris(m_tets)
+        t_c = self._valid_tris(m_256)
+        ratio = len(t_t) / len(t_c)
+        assert 1.8 < ratio < 4.5, ratio
+        # symmetric point-to-point Chamfer on triangle centroids vs the
+        # other soup's vertices must be well under a voxel (~0.042)
+        from avatarcap_tpu.utils.metrics import chamfer_distance
+        ca = t_c.mean(axis=1)
+        d = float(chamfer_distance(jnp.asarray(ca),
+                                   jnp.asarray(t_t.reshape(-1, 3))))
+        assert d < 0.03, d
+
+    def test_watertight_and_oriented(self):
+        _, m_256 = self._soups()
+        t = self._valid_tris(m_256)
+        # quantize vertices to kill fp jitter; edges must pair up with
+        # opposite orientation (closed, consistently wound 2-manifold)
+        q = np.round(t / 1e-5).astype(np.int64)
+        from collections import Counter
+        directed = Counter()
+        for tri in q:
+            for i in range(3):
+                a = tuple(tri[i])
+                b = tuple(tri[(i + 1) % 3])
+                directed[(a, b)] += 1
+        for (a, b), c in directed.items():
+            assert c == directed.get((b, a), 0), "unpaired/mis-wound edge"
+        # signed volume positive => outward winding for inside-positive sdf
+        v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
+        vol6 = np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum()
+        assert vol6 > 0
