@@ -64,13 +64,20 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
     coord_y = cam[:, 1] / cam[:, 2] * fy + cy
     gx = 2.0 * (coord_x / img_w) - 1.0
     gy = 2.0 * (coord_y / img_h) - 1.0
-    grid = jnp.stack([gx, gy], -1)[None, :, None]         # (1, 3T, 1, 2)
-    pm = jnp.moveaxis(position_map, -1, 0)[None]          # (1, 3, H, W)
-    proj_v = grid_sample_2d(pm, grid, mode="nearest")[0, :, :, 0].T
+    # nearest sample of BOTH maps in one 6-channel row gather (same
+    # align_corners=True + border-clamp semantics as grid_sample_2d
+    # nearest; two channel-major grid_sample calls at 3M vertices are 6
+    # scalar gathers — random gathers on v5e are latency-bound)
+    xpix = jnp.clip(jnp.round((gx + 1.0) * 0.5 * (img_w - 1))
+                    .astype(jnp.int32), 0, img_w - 1)
+    ypix = jnp.clip(jnp.round((gy + 1.0) * 0.5 * (img_h - 1))
+                    .astype(jnp.int32), 0, img_h - 1)
+    both = jnp.concatenate([position_map, normal_map],
+                           axis=-1).reshape(-1, 6)
+    rows = both[ypix * img_w + xpix]                      # (3T, 6)
+    proj_v = rows[:, :3]
+    proj_n = rows[:, 3:]
     vis = jnp.linalg.norm(verts - proj_v, axis=-1) < 0.05
-
-    nm = jnp.moveaxis(normal_map, -1, 0)[None]
-    proj_n = grid_sample_2d(nm, grid, mode="nearest")[0, :, :, 0].T
     valid = vis & (jnp.linalg.norm(proj_n, axis=-1) > 1e-6)
 
     # 3. canonicalize normals (reference :56-60). Closed-form inverses:

@@ -238,11 +238,12 @@ def query_occupancy_fused(packed, cano_pts: jnp.ndarray,
             "nonrigid_offset": out["offset"].reshape(B, N, 3)}
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape", "dtype"))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "dtype",
+                                             "columns"))
 def grid_pose_features(pose_feat_map: jnp.ndarray,
                        statics: AvatarStatics,
                        grid_shape, flat_idx: Optional[jnp.ndarray] = None,
-                       dtype=None):
+                       dtype=None, columns: bool = False):
     """Pose features for REGULAR-GRID query points, exploiting that the
     pixel-aligned fetch only depends on (x, y): sample once per unique grid
     column (X*Y bilinear fetches instead of N) and broadcast along z.
@@ -276,9 +277,19 @@ def grid_pose_features(pose_feat_map: jnp.ndarray,
         # the fused query kernel consumes bf16 pose features; casting
         # BEFORE the N-row broadcast gather halves its HBM traffic
         pf_cols = pf_cols.astype(dtype)
+    if columns:
+        # hierarchical query indexes the (X*Y, C) column table itself,
+        # once per level
+        return pf_cols
     if flat_idx is None:
         return jnp.repeat(pf_cols, Z, axis=0)
-    return pf_cols[flat_idx // Z]
+    if Z & (Z - 1) == 0:
+        # int32 division is emulated on the VPU (~12 ns/element — ~100 ms
+        # at capture sizes); grid Z is a power of two in every config
+        col = flat_idx >> (Z.bit_length() - 1)
+    else:
+        col = flat_idx // Z
+    return pf_cols[col]
 
 
 def query_occupancy(module: GeoTexAvatar, variables, cano_pts: jnp.ndarray,

@@ -46,12 +46,73 @@ from avatarcap_tpu.fusion.normal_fusion import (
 
 
 class CaptureGrid(NamedTuple):
-    """Static per-subject canonical query grid (from the dataset)."""
+    """Static per-subject canonical query grid (from the dataset).
+
+    The optional tail fields hold the coarse level of the hierarchical
+    (coarse-to-fine) query; `build_grid_hierarchy` derives them from the
+    fine grid once per subject.
+    """
 
     valid_pts: jnp.ndarray     # (Nv_pad, 3) compacted near-SMPL points
     valid_idx: jnp.ndarray     # (Nv_pad,) flat grid indices (OOB = dropped)
     prior_volume: jnp.ndarray  # (X*Y*Z,) SMPL-prior occupancy elsewhere
     vol_res: tuple             # static (X, Y, Z)
+    valid_mask: jnp.ndarray = None  # (X*Y*Z,) bool near-SMPL band
+    c_pts: jnp.ndarray = None  # (Nc_pad, 3) coarse band points
+    c_idx: jnp.ndarray = None  # (Nc_pad,) coarse flat indices (OOB pad)
+    c_fine_idx: jnp.ndarray = None  # (Nc_pad,) same nodes' FINE indices
+    c_prior: jnp.ndarray = None     # (Xc*Yc*Zc,) coarse prior
+    c_res: tuple = None             # static (Xc, Yc, Zc)
+
+
+def build_grid_hierarchy(grid: CaptureGrid, cano_bounds,
+                         pad_to: int = 8192) -> CaptureGrid:
+    """Derive the coarse level for the hierarchical grid query.
+
+    Coarse node (i, j, k) IS fine node (2i, 2j, 2k), so coarse values
+    upsample onto the fine lattice exactly and pose-feature columns are
+    shared. One host readback (the coarse band count) sizes the static
+    compaction; everything else stays on device.
+    """
+    X, Y, Z = grid.vol_res
+    Xc, Yc, Zc = (X + 1) // 2, (Y + 1) // 2, (Z + 1) // 2
+    valid_mask = jnp.zeros((X * Y * Z,), bool).at[grid.valid_idx].set(
+        True, mode="drop")
+    vm3 = valid_mask.reshape(X, Y, Z)
+    cmask = vm3[::2, ::2, ::2]
+    c_prior = grid.prior_volume.reshape(X, Y, Z)[::2, ::2, ::2].reshape(-1)
+
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    n_c = int(jnp.sum(cmask))                   # one readback, init-time
+    cap = n_c + ((-n_c) % pad_to)
+    cidx, _, live = compact_mask_indices(cmask.reshape(-1), cap)
+    ci = cidx // (Yc * Zc)
+    cj = (cidx // Zc) % Yc
+    ck = cidx % Zc
+    lo, hi = cano_bounds[0], cano_bounds[1]
+    frac = jnp.stack([(2 * ci) / (X - 1), (2 * cj) / (Y - 1),
+                      (2 * ck) / (Z - 1)], axis=-1).astype(jnp.float32)
+    c_pts = jnp.where(live[:, None], lo + frac * (hi - lo), 0.0)
+    c_idx = jnp.where(live, cidx, Xc * Yc * Zc).astype(jnp.int32)
+    c_fine_idx = jnp.where(
+        live, ((2 * ci) * Y + 2 * cj) * Z + 2 * ck, 0).astype(jnp.int32)
+    return grid._replace(valid_mask=valid_mask, c_pts=c_pts, c_idx=c_idx,
+                         c_fine_idx=c_fine_idx, c_prior=c_prior,
+                         c_res=(Xc, Yc, Zc))
+
+
+def _upsample2(c: jnp.ndarray, fine_res) -> jnp.ndarray:
+    """(Xc, Yc, Zc) -> (X, Y, Z) linear upsampling where coarse node i
+    sits at fine node 2i (edge-clamped)."""
+    out = c
+    for axis, n_fine in enumerate(fine_res):
+        a = jnp.moveaxis(out, axis, 0)
+        b = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        mid = 0.5 * (a + b)
+        inter = jnp.stack([a, mid], axis=1).reshape(
+            (-1,) + a.shape[1:])[:n_fine]
+        out = jnp.moveaxis(inter, 0, axis)
+    return out
 
 
 class CaptureMesh(NamedTuple):
@@ -79,10 +140,24 @@ class CaptureOptions:
     # the reference (utils/smpl_util.py:24-39) — ~30x slower per frame.
     skinning_mode: str = "volume"
     skin_voxel: float = 0.01
+    # 'trilinear': analytic gradient of each cube's own interpolant —
+    # free (corner values already on hand in the extraction kernel);
     # 'mc_edge': Sobel node gradients interpolated along MC edges inside
-    # the extraction kernel; 'sobel_sample': exact reference resampling
-    # (utils/recon_util.py:32-48) — ~4x slower.
-    normal_mode: str = "mc_edge"
+    # the kernel (~120 ms/frame of carried-gradient traffic);
+    # 'sobel_sample': exact reference resampling
+    # (utils/recon_util.py:32-48) — slowest, parity mode.
+    normal_mode: str = "trilinear"
+    # Coarse-to-fine grid query: evaluate the implicit nets on the 2x
+    # coarse lattice first, refine only fine nodes inside coarse cells
+    # whose corner range comes within hier_alpha x (local range) of the
+    # iso level. ~4x fewer network queries + a 3x smaller occupancy
+    # scatter on body-scale grids; exact whenever the field within a
+    # coarse cell stays within alpha x its corner range of its corner
+    # span (sub-voxel features sharper than that can be missed — the
+    # brute-force path remains via hierarchical_query=False).
+    hierarchical_query: bool = True
+    hier_alpha: float = 1.0
+    refine_capacity: int = 1 << 21
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
@@ -98,7 +173,11 @@ def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
     X, Y, Z = grid.vol_res
     vol = volume_flat.reshape(X, Y, Z)
     voxel = (bounds[1] - bounds[0]) / jnp.asarray([X, Y, Z], bounds.dtype)
-    if normal_mode == "mc_edge":
+    if normal_mode == "trilinear":
+        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
+                             max_active=max_active, gradient_normals=True)
+        normals = mesh.normals
+    elif normal_mode == "mc_edge":
         nvol = extract_normal_volume(vol, voxel)
         mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
                              max_active=max_active, normal_volume=nvol)
@@ -149,29 +228,124 @@ class AvatarCapture:
         self._packed_query = (pack_fused_query_weights(avatar_vars)
                               if o.use_fused_query else None)
 
+        if o.hierarchical_query and grid.c_idx is None:
+            grid = build_grid_hierarchy(grid, statics.cano_bounds)
+            self.grid = grid
+        use_hier = o.hierarchical_query and self.grid.c_idx is not None
+
+        def hier_volume(value_fn, c_prior, prior, iso):
+            """Coarse-to-fine occupancy volume (see CaptureOptions).
+
+            value_fn(pts (N, 3), fine_flat_idx (N,)) -> (N,) field values.
+            Returns (vol_flat (X*Y*Z,), query_overflow ()).
+            """
+            g = self.grid
+            X, Y, Z = g.vol_res
+            c_occ = value_fn(g.c_pts, g.c_fine_idx)
+            cvol = c_prior.at[g.c_idx].set(c_occ, mode="drop") \
+                .reshape(g.c_res)
+            mx = jax.lax.reduce_window(cvol, -jnp.inf, jax.lax.max,
+                                       (2, 2, 2), (1, 1, 1), "valid")
+            mn = -jax.lax.reduce_window(-cvol, -jnp.inf, jax.lax.max,
+                                        (2, 2, 2), (1, 1, 1), "valid")
+            rng8 = mx - mn
+            act = ((mx >= iso - o.hier_alpha * rng8)
+                   & (mn <= iso + o.hier_alpha * rng8))
+            # coarse cell ci covers fine cells [2ci, 2ci+1]; edge cells
+            # beyond the coarse lattice are conservatively active
+            F = act
+            for axis in range(3):
+                F = jnp.repeat(F, 2, axis=axis)
+            F = jnp.pad(F, [(0, max(0, (X - 1) - F.shape[0])),
+                            (0, max(0, (Y - 1) - F.shape[1])),
+                            (0, max(0, (Z - 1) - F.shape[2]))],
+                        constant_values=True)[:X - 1, :Y - 1, :Z - 1]
+            # node mask: a node is refined iff it touches an active cell
+            node = F
+            for axis, n in ((0, X), (1, Y), (2, Z)):
+                pl = [(0, 0)] * 3
+                pr = [(0, 0)] * 3
+                pl[axis] = (1, 0)
+                pr[axis] = (0, 1)
+                node = jnp.pad(node, pl) | jnp.pad(node, pr)
+            node = node & g.valid_mask.reshape(X, Y, Z)
+
+            from avatarcap_tpu.ops.compaction import compact_mask_indices
+            r_cap = min(o.refine_capacity, X * Y * Z)
+            ridx, n_r, live = compact_mask_indices(node.reshape(-1), r_cap)
+            q_overflow = n_r > r_cap
+            zi = ridx & (Z - 1) if Z & (Z - 1) == 0 else ridx % Z
+            col = (ridx >> (Z.bit_length() - 1) if Z & (Z - 1) == 0
+                   else ridx // Z)
+            yi = col % Y
+            xi = col // Y
+            lo = self.statics.cano_bounds[0]
+            hi = self.statics.cano_bounds[1]
+            frac = jnp.stack([xi / (X - 1), yi / (Y - 1), zi / (Z - 1)],
+                             axis=-1).astype(jnp.float32)
+            rpts = jnp.where(live[:, None], lo + frac * (hi - lo), 0.0)
+            r_occ = value_fn(rpts, jnp.where(live, ridx, 0))
+            vol = _upsample2(cvol, (X, Y, Z)).reshape(-1)
+            vol = vol.at[jnp.where(live, ridx, X * Y * Z)].set(
+                r_occ, mode="drop")
+            vol = jnp.where(g.valid_mask, vol, prior)
+            return vol, q_overflow
+
+        _Z = self.grid.vol_res[2]
+        if _Z & (_Z - 1) == 0:
+            _zb = _Z.bit_length() - 1
+            col_of = lambda fidx: fidx >> _zb  # noqa: E731
+        else:
+            col_of = lambda fidx: fidx // _Z  # noqa: E731
+
         @jax.jit
         def avatar_geometry_stage(avatar_vars, frame: FrameInputs):
             feat, _ = compute_pose_features(self.avatar, avatar_vars,
                                             frame.smpl_pos_map)
             if o.use_fused_query:
-                # grid-structured pose features (z-broadcast) + one-kernel
-                # warp+template query — the Mpts/s fast path
-                pf = grid_pose_features(feat, self.statics,
-                                        self.grid.vol_res,
-                                        self.grid.valid_idx,
-                                        dtype=jnp.bfloat16)
-                qout = warp_template_query_fused(
-                    self._packed_query["offset"],
-                    self._packed_query["template"],
-                    self.grid.valid_pts, pf)
-                occ = qout["occ"][:, 0]
+                if use_hier:
+                    pf_cols = grid_pose_features(
+                        feat, self.statics, self.grid.vol_res,
+                        dtype=jnp.bfloat16, columns=True)
+
+                    def vf(pts, fidx):
+                        pf = pf_cols[col_of(fidx)]
+                        return warp_template_query_fused(
+                            self._packed_query["offset"],
+                            self._packed_query["template"],
+                            pts, pf)["occ"][:, 0]
+
+                    vol, _ = hier_volume(vf, self.grid.c_prior,
+                                         self.grid.prior_volume,
+                                         o.iso_value)
+                else:
+                    # grid-structured pose features (z-broadcast) +
+                    # one-kernel warp+template query
+                    pf = grid_pose_features(feat, self.statics,
+                                            self.grid.vol_res,
+                                            self.grid.valid_idx,
+                                            dtype=jnp.bfloat16)
+                    qout = warp_template_query_fused(
+                        self._packed_query["offset"],
+                        self._packed_query["template"],
+                        self.grid.valid_pts, pf)
+                    vol = self.grid.prior_volume.at[
+                        self.grid.valid_idx].set(qout["occ"][:, 0],
+                                                 mode="drop")
+            elif use_hier:
+                def vf_xla(pts, fidx):
+                    out, _ = query_occupancy(self.avatar, avatar_vars,
+                                             pts[None], feat, self.statics)
+                    return out["cano_pts_ov"][0, :, 0]
+
+                vol, _ = hier_volume(vf_xla, self.grid.c_prior,
+                                     self.grid.prior_volume, o.iso_value)
             else:
                 out, _ = query_occupancy(self.avatar, avatar_vars,
                                          self.grid.valid_pts[None], feat,
                                          self.statics)
-                occ = out["cano_pts_ov"][0, :, 0]
-            vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
-                occ, mode="drop")
+                vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
+                    out["cano_pts_ov"][0, :, 0], mode="drop")
             mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active,
                                  o.normal_mode)
@@ -255,25 +429,50 @@ class AvatarCapture:
                                   axis=-1)[None]          # (1, H, W, 6)
             feat_map = self.recon.apply(recon_vars, img,
                                         method=ReconNetwork.get_feat_maps)
+            # recon occupancy iso is 0.5; prior volume is in [-1, 1] ->
+            # rescale prior to [0, 1] for a consistent surface crossing
+            prior01 = 0.5 * (self.grid.prior_volume + 1.0)
             if o.use_fused_query:
-                # grid-structured pixel-aligned fetch + fused decoder
                 from avatarcap_tpu.ops.pallas_query import recon_decode_fused
-                pf = grid_pose_features(feat_map, self.statics,
-                                        self.grid.vol_res,
-                                        self.grid.valid_idx)
-                z = (self.grid.valid_pts[:, 2]
-                     - self.statics.cano_smpl_center[2])
-                feats = jnp.concatenate([pf, z[:, None]], axis=-1)
-                ov = recon_decode_fused(self._packed_recon, feats)
+                if use_hier:
+                    pf_cols = grid_pose_features(
+                        feat_map, self.statics, self.grid.vol_res,
+                        columns=True)
+
+                    def vfr(pts, fidx):
+                        pf = pf_cols[col_of(fidx)]
+                        z = pts[:, 2] - self.statics.cano_smpl_center[2]
+                        feats = jnp.concatenate([pf, z[:, None]], axis=-1)
+                        return recon_decode_fused(self._packed_recon, feats)
+
+                    vol, _ = hier_volume(
+                        vfr, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
+                else:
+                    # grid-structured pixel-aligned fetch + fused decoder
+                    pf = grid_pose_features(feat_map, self.statics,
+                                            self.grid.vol_res,
+                                            self.grid.valid_idx)
+                    z = (self.grid.valid_pts[:, 2]
+                         - self.statics.cano_smpl_center[2])
+                    feats = jnp.concatenate([pf, z[:, None]], axis=-1)
+                    ov = recon_decode_fused(self._packed_recon, feats)
+                    vol = prior01.at[self.grid.valid_idx].set(ov,
+                                                              mode="drop")
+            elif use_hier:
+                def vfr_xla(pts, fidx):
+                    return self.recon.apply(
+                        recon_vars, feat_map, pts[None],
+                        self.statics.cano_smpl_center[None],
+                        method=ReconNetwork.decode_points)[0]
+
+                vol, _ = hier_volume(
+                    vfr_xla, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
             else:
                 ov = self.recon.apply(
                     recon_vars, feat_map, self.grid.valid_pts[None],
                     self.statics.cano_smpl_center[None],
                     method=ReconNetwork.decode_points)[0]
-            # recon occupancy iso is 0.5; prior volume is in [-1, 1] ->
-            # rescale prior to [0, 1] for a consistent surface crossing
-            prior01 = 0.5 * (self.grid.prior_volume + 1.0)
-            vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
+                vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
             return _extract_mesh(vol, self.grid, self.statics.cano_bounds,
                                  0.5, o.max_tris, o.max_active,
                                  o.normal_mode)
@@ -306,6 +505,80 @@ class AvatarCapture:
         self._nerf_color = nerf_color_stage
         self._color_transfer = color_transfer_stage
 
+        _GRID_ARRAY_FIELDS = ("valid_pts", "valid_idx", "prior_volume",
+                              "valid_mask", "c_pts", "c_idx", "c_fine_idx",
+                              "c_prior")
+
+        @jax.jit
+        def frame_fused(avatar_vars, recon_vars, frame: FrameInputs,
+                        jnt_mats, inferred_normal, w2c, proj,
+                        fx, fy, cx, cy, neck_xy,
+                        grid_arrays, statics, skin_wvol,
+                        packed_query, packed_recon):
+            """The full w_recon frame as ONE program. The staged path
+            pays one dispatch round-trip per stage (~36 ms each through
+            the tunneled runtime) and blocks XLA from overlapping
+            stages; production/bench frames go through here, the staged
+            path stays for per-stage profiling (timer=...).
+
+            The per-subject constants (grid, statics, skinning volume,
+            packed kernel weights — several hundred MB) arrive as
+            ARGUMENTS: the per-stage jits embed them as program
+            constants, which is fine per stage but overflows the
+            compile-payload limit when everything lands in one program.
+            The stage closures read them through `self`, so they are
+            rebound to the traced values for the duration of tracing.
+            """
+            saved = (self.grid, self.statics, self._skin_wvol,
+                     self._packed_query, self._packed_recon)
+            self.grid = self.grid._replace(**grid_arrays)
+            self.statics = statics
+            self._skin_wvol = skin_wvol
+            self._packed_query = packed_query
+            self._packed_recon = packed_recon
+            try:
+                return _frame_body(avatar_vars, recon_vars, frame,
+                                   jnt_mats, inferred_normal, w2c, proj,
+                                   fx, fy, cx, cy, neck_xy)
+            finally:
+                (self.grid, self.statics, self._skin_wvol,
+                 self._packed_query, self._packed_recon) = saved
+
+        def _frame_body(avatar_vars, recon_vars, frame, jnt_mats,
+                        inferred_normal, w2c, proj, fx, fy, cx, cy,
+                        neck_xy):
+            cano_mesh, feat = avatar_geometry_stage(avatar_vars, frame)
+            (fri, bri, front_avatar_n, back_avatar_n,
+             cano_phong) = cano_layers_stage(cano_mesh)
+            live_mesh, pt_mats = skinning_stage(cano_mesh, jnt_mats)
+            front_img_n, back_img_n = lift_normals_stage(
+                fri, bri, live_mesh, cano_mesh.valid, inferred_normal,
+                pt_mats, w2c, proj, fx, fy, cx, cy)
+            if o.integrate_manner == "merge":
+                front_merged = merge_normal_images(
+                    front_avatar_n, front_img_n, neck_xy,
+                    iter_num=o.fusion_iters)
+            else:
+                front_merged = merge_normal_images_cover(front_avatar_n,
+                                                         front_img_n)
+            back_merged = back_avatar_n          # reference main.py:430
+            recon_mesh = recon_stage(recon_vars, front_merged, back_merged)
+            live_recon, _ = skinning_stage(recon_mesh, jnt_mats)
+            return {
+                "cano_mesh": cano_mesh,
+                "live_mesh": live_mesh,
+                "cano_phong": cano_phong,
+                "front_avatar_normal": front_avatar_n,
+                "back_avatar_normal": back_avatar_n,
+                "front_merged_normal": front_merged,
+                "front_image_normal": front_img_n,
+                "recon_mesh": recon_mesh,
+                "live_recon_mesh": live_recon,
+            }
+
+        self._frame_fused = frame_fused
+        self._grid_array_fields = _GRID_ARRAY_FIELDS
+
     # ------------------------------------------------------------------
 
     def process_frame(self, item: Dict[str, Any], w_recon: bool = True,
@@ -330,6 +603,33 @@ class AvatarCapture:
             live_smpl_v=jnp.asarray(item["live_smpl_v"])[None],
             cano2live_jnt_mats=jnp.asarray(item["cano2live_jnt_mats"])[None],
             smpl_pos_map=jnp.asarray(item["smpl_pos_map"])[None])
+
+        if timer is None and w_recon and not w_nerf:
+            # production path: one fused dispatch (see frame_fused)
+            assert self.recon is not None and inferred_normal is not None
+            img_h, img_w = inferred_normal.shape[:2]
+            cam = camera
+            fx, fy, cx, cy = (cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+            proj = gl_perspective_projection_matrix(fx, fy, cx, cy,
+                                                    img_w, img_h,
+                                                    gl_space=False)
+            neck_v = np.asarray(
+                self.statics.cano_smpl_vertices[neck_vertex_idx]) \
+                - np.asarray(self.statics.cano_smpl_center)
+            neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
+            neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
+                % o.render_res
+            grid_arrays = {k: getattr(self.grid, k)
+                           for k in self._grid_array_fields
+                           if getattr(self.grid, k) is not None}
+            return self._frame_fused(
+                self.avatar_vars, self.recon_vars, frame,
+                jnp.asarray(item["cano2live_jnt_mats"]),
+                jnp.asarray(inferred_normal), jnp.asarray(item["w2c_RT"]),
+                jnp.asarray(proj), fx, fy, cx, cy,
+                jnp.asarray([neck_x, neck_y], jnp.int32),
+                grid_arrays, self.statics, self._skin_wvol,
+                self._packed_query, self._packed_recon)
 
         # Stage 1: avatar geometry
         with StageTimer.maybe(timer, "1_grid_query_mc"):

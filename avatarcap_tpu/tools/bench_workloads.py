@@ -214,11 +214,11 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
     opt = optax.adam(lr)
 
     @jax.jit
-    def step(dec, opt_state, rng):
+    def step(dec, opt_state, rng, feats, pts):
         rng, k1 = jax.random.split(rng)
         idx = jax.random.randint(k1, (batch,), 0, feats.shape[0])
         f = feats[idx]
-        tgt = targets(grid.valid_pts[idx])
+        tgt = targets(pts[idx])
 
         def loss_fn(dec):
             from avatarcap_tpu.models.mlp import MLP
@@ -235,7 +235,8 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
     opt_state = opt.init(dec)
     rng = jax.random.PRNGKey(11)
     for _ in range(steps):
-        dec, opt_state, rng, loss = step(dec, opt_state, rng)
+        dec, opt_state, rng, loss = step(dec, opt_state, rng, feats,
+                                         grid.valid_pts)
     out = dict(recon_vars)
     out["params"] = dict(frozen, image_decoder=dec)
     return out, float(loss)

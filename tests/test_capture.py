@@ -129,3 +129,31 @@ class TestCapture:
         assert f.shape == (128, 128, 3)
         # phong render has both body pixels and white background
         assert (f < 0.99).any() and (f > 0.99).any()
+
+
+class TestHierarchicalQuery:
+    def test_hier_matches_flat(self, capture_env):
+        """Coarse-to-fine query reproduces the brute-force surface:
+        near-zero Chamfer between the two avatar meshes."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        from avatarcap_tpu.utils.metrics import chamfer_distance
+
+        capture, item, cam = capture_env
+        flat = AvatarCapture(
+            capture.avatar, capture.avatar_vars, capture.statics,
+            capture.grid, recon=capture.recon,
+            recon_vars=capture.recon_vars,
+            options=dataclasses.replace(capture.opt,
+                                        hierarchical_query=False))
+        r_h = capture.process_frame(item, w_recon=False, w_nerf=False)
+        r_f = flat.process_frame(item, w_recon=False, w_nerf=False)
+        mh, mf = r_h["cano_mesh"], r_f["cano_mesh"]
+        nh, nf = int(mh.num_tris), int(mf.num_tris)
+        assert nh > 100 and nf > 100
+        vh = np.asarray(mh.vertices[: 3 * nh])
+        vf = np.asarray(mf.vertices[: 3 * nf])
+        d = float(chamfer_distance(jnp.asarray(vh), jnp.asarray(vf)))
+        # voxel ~ 2-4 cm on this tiny grid; surfaces must agree to well
+        # under a voxel (identical where the coarse level is refined)
+        assert d < 0.01, d

@@ -163,3 +163,20 @@ class TestMC256VsTets:
         v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
         vol6 = np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum()
         assert vol6 > 0
+
+
+class TestGradientNormals:
+    def test_sphere_trilinear_normals_outward(self):
+        sdf, bounds, voxel = sphere_volume()
+        mesh = marching_tets(jnp.asarray(sdf), 0.0, jnp.asarray(bounds[0]),
+                             jnp.asarray(voxel), max_tris=1 << 17,
+                             max_active=1 << 15, gradient_normals=True)
+        n = int(mesh.num_tris)
+        v = np.asarray(mesh.vertices[: 3 * n])
+        nm = np.asarray(mesh.normals[: 3 * n])
+        np.testing.assert_allclose(np.linalg.norm(nm, axis=-1), 1.0,
+                                   atol=1e-4)
+        radial = v - 0.5 * voxel
+        radial /= np.linalg.norm(radial, axis=-1, keepdims=True)
+        cos = (nm * radial).sum(-1)
+        assert cos.mean() > 0.99, cos.mean()  # outward, near-radial
