@@ -131,6 +131,11 @@ class CaptureOptions:
     # outnumber max_tris/2; overflow is reported on the mesh either way
     render_res: int = 512
     raster_window: int = 4
+    # canonical ortho passes see sub-2px MC triangles (cube diag ~1.4
+    # voxels at 512px over ~2m bounds): a 3x3 window covers them with
+    # 44% fewer candidate slots; stragglers go to the exact big-tri pass
+    cano_window: int = 3
+    cano_big_tris: int = 2048
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
@@ -157,7 +162,11 @@ class CaptureOptions:
     # brute-force path remains via hierarchical_query=False).
     hierarchical_query: bool = True
     hier_alpha: float = 1.0
-    refine_capacity: int = 1 << 21
+    # ~900k fine nodes refine on a body at 384x384x128 (saturation-
+    # clamped activation); the refine kernel runs at this static
+    # capacity, so oversizing costs real ms. Overflow is reported on the
+    # mesh.
+    refine_capacity: int = (1 << 20) + (1 << 19)
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
@@ -244,9 +253,19 @@ class AvatarCapture:
             c_occ = value_fn(g.c_pts, g.c_fine_idx)
             cvol = c_prior.at[g.c_idx].set(c_occ, mode="drop") \
                 .reshape(g.c_res)
-            mx = jax.lax.reduce_window(cvol, -jnp.inf, jax.lax.max,
+            # Activation test on a SATURATION-CLAMPED copy: the prior is
+            # +-1 but e.g. an sdf-mode field clips at +-0.05, so cells on
+            # the band boundary would otherwise show a huge corner range
+            # and the alpha margin would activate the entire band surface
+            # (~2x the real surface in false positives, measured). The
+            # field's own saturation is its max |value - iso| over the
+            # queried band.
+            c_band = g.c_idx < int(np.prod(g.c_res))
+            sat = jnp.max(jnp.where(c_band, jnp.abs(c_occ - iso), 0.0))
+            cact = jnp.clip(cvol, iso - sat, iso + sat)
+            mx = jax.lax.reduce_window(cact, -jnp.inf, jax.lax.max,
                                        (2, 2, 2), (1, 1, 1), "valid")
-            mn = -jax.lax.reduce_window(-cvol, -jnp.inf, jax.lax.max,
+            mn = -jax.lax.reduce_window(-cact, -jnp.inf, jax.lax.max,
                                         (2, 2, 2), (1, 1, 1), "valid")
             rng8 = mx - mn
             act = ((mx >= iso - o.hier_alpha * rng8)
@@ -315,9 +334,9 @@ class AvatarCapture:
                             self._packed_query["template"],
                             pts, pf)["occ"][:, 0]
 
-                    vol, _ = hier_volume(vf, self.grid.c_prior,
-                                         self.grid.prior_volume,
-                                         o.iso_value)
+                    vol, q_ovf = hier_volume(vf, self.grid.c_prior,
+                                             self.grid.prior_volume,
+                                             o.iso_value)
                 else:
                     # grid-structured pose features (z-broadcast) +
                     # one-kernel warp+template query
@@ -338,8 +357,9 @@ class AvatarCapture:
                                              pts[None], feat, self.statics)
                     return out["cano_pts_ov"][0, :, 0]
 
-                vol, _ = hier_volume(vf_xla, self.grid.c_prior,
-                                     self.grid.prior_volume, o.iso_value)
+                vol, q_ovf = hier_volume(vf_xla, self.grid.c_prior,
+                                         self.grid.prior_volume,
+                                         o.iso_value)
             else:
                 out, _ = query_occupancy(self.avatar, avatar_vars,
                                          self.grid.valid_pts[None], feat,
@@ -349,6 +369,8 @@ class AvatarCapture:
             mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active,
                                  o.normal_mode)
+            if use_hier:
+                mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh, feat
 
         @jax.jit
@@ -363,7 +385,7 @@ class AvatarCapture:
             fri, bri = cano_index_passes(
                 tris, mesh.valid, jnp.asarray(self._fmvp),
                 jnp.asarray(self._bmvp), res=o.render_res,
-                window=o.raster_window)
+                window=o.cano_window, big_tris=o.cano_big_tris)
             front_n, back_n = cano_interpolate(fri, bri, attr)
             phong = cano_phong(fri, bri, tris, attr,
                                jnp.asarray(self._fmv),
@@ -445,7 +467,7 @@ class AvatarCapture:
                         feats = jnp.concatenate([pf, z[:, None]], axis=-1)
                         return recon_decode_fused(self._packed_recon, feats)
 
-                    vol, _ = hier_volume(
+                    vol, q_ovf = hier_volume(
                         vfr, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
                 else:
                     # grid-structured pixel-aligned fetch + fused decoder
@@ -465,7 +487,7 @@ class AvatarCapture:
                         self.statics.cano_smpl_center[None],
                         method=ReconNetwork.decode_points)[0]
 
-                vol, _ = hier_volume(
+                vol, q_ovf = hier_volume(
                     vfr_xla, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
             else:
                 ov = self.recon.apply(
@@ -473,9 +495,12 @@ class AvatarCapture:
                     self.statics.cano_smpl_center[None],
                     method=ReconNetwork.decode_points)[0]
                 vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
-            return _extract_mesh(vol, self.grid, self.statics.cano_bounds,
+            mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
                                  0.5, o.max_tris, o.max_active,
                                  o.normal_mode)
+            if use_hier:
+                mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
+            return mesh
 
         @jax.jit
         def nerf_color_stage(tex_vars, feat, frame: FrameInputs,

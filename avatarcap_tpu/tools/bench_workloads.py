@@ -105,8 +105,8 @@ def build_capture_grid(statics, cano_v: np.ndarray,
     return grid, n_valid
 
 
-def fit_template_to_body(module, avatar_vars, statics, steps: int = 300,
-                         n_pts: int = 16384, lr: float = 1e-3):
+def fit_template_to_body(module, avatar_vars, statics, steps: int = 600,
+                         n_pts: int = 32768, lr: float = 1e-3):
     """Fit the template geo MLP to the toy body's approximate SDF.
 
     A freshly-initialized DoubleTNet outputs ~0 everywhere — exactly the
@@ -243,7 +243,7 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
 
 
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
-                      fusion_iters=100, max_tris=1 << 20,
+                      fusion_iters=100, max_tris=(1 << 19) + (1 << 18),
                       max_active=1 << 19, pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
                       fit_template: bool = True):
