@@ -127,15 +127,16 @@ class CaptureMesh(NamedTuple):
 class CaptureOptions:
     iso_value: float = 0.0          # 0 sdf / 0.5 occupancy
     max_tris: int = 1 << 20
-    max_active: int = 1 << 19   # ~2.3 tris/cube (mc256): actives can
-    # outnumber max_tris/2; overflow is reported on the mesh either way
+    max_active: int = (1 << 18) + (1 << 17)  # ~2.3 tris/cube (mc256):
+    # a ~600k-tri body has ~260k active cubes; overflow is reported
     render_res: int = 512
     raster_window: int = 4
     # canonical ortho passes see sub-2px MC triangles (cube diag ~1.4
     # voxels at 512px over ~2m bounds): a 3x3 window covers them with
     # 44% fewer candidate slots; stragglers go to the exact big-tri pass
     cano_window: int = 3
-    cano_big_tris: int = 2048
+    cano_big_tris: int = 256  # the exact pass materializes (cap, H*W)
+    # intermediates — keep it small; MC triangles here are sub-2px
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
@@ -317,7 +318,6 @@ class AvatarCapture:
         else:
             col_of = lambda fidx: fidx // _Z  # noqa: E731
 
-        @jax.jit
         def avatar_geometry_stage(avatar_vars, frame: FrameInputs):
             feat, _ = compute_pose_features(self.avatar, avatar_vars,
                                             frame.smpl_pos_map)
@@ -373,7 +373,6 @@ class AvatarCapture:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh, feat
 
-        @jax.jit
         def cano_layers_stage(mesh: CaptureMesh):
             """One front + one back index pass over the canonical mesh,
             then all attribute layers by interpolation: avatar normals
@@ -392,7 +391,6 @@ class AvatarCapture:
                                jnp.asarray(self._bmv))
             return fri, bri, front_n, back_n, phong
 
-        @jax.jit
         def lift_normals_stage(fri, bri, live_mesh: CaptureMesh,
                                valid, inferred_normal, pt_mats, w2c, proj,
                                fx, fy, cx, cy):
@@ -415,7 +413,6 @@ class AvatarCapture:
         else:
             self._skin_wvol = None
 
-        @jax.jit
         def skinning_stage(mesh: CaptureMesh, cano2live):
             """Avatar mesh -> live space (reference main.py:383-394)."""
             if o.skinning_mode == "volume":
@@ -443,7 +440,6 @@ class AvatarCapture:
         else:
             self._packed_recon = None
 
-        @jax.jit
         def recon_stage(recon_vars, front_normal, back_normal):
             """Fused normals -> occupancy volume -> mesh
             (reference main.py:435-445)."""
@@ -502,7 +498,6 @@ class AvatarCapture:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh
 
-        @jax.jit
         def nerf_color_stage(tex_vars, feat, frame: FrameInputs,
                              cano_mesh: CaptureMesh):
             """Vertex colors by integrating along -normal rays in cano
@@ -516,19 +511,23 @@ class AvatarCapture:
                 pts_space="cano", near_dist=0.02, far_dist=0.05)
             return out["rgb_map"][0]
 
-        @jax.jit
         def color_transfer_stage(recon_verts, avatar_verts, avatar_colors):
             """NN color transfer (reference main.py:480-485)."""
             _, idx = knn(recon_verts, avatar_verts, k=1)
             return avatar_colors[idx[:, 0]]
 
-        self._avatar_geometry = avatar_geometry_stage
-        self._cano_layers = cano_layers_stage
-        self._lift_normals = lift_normals_stage
-        self._skinning = skinning_stage
-        self._recon_stage = recon_stage
-        self._nerf_color = nerf_color_stage
-        self._color_transfer = color_transfer_stage
+        # The staged path jits each stage separately; the fused frame
+        # calls the PLAIN functions — calling the jitted wrappers inside
+        # the fused trace would poison their caches with tracer-closures
+        # (jit cache keys ignore closure contents), breaking any staged
+        # call afterwards.
+        self._avatar_geometry = jax.jit(avatar_geometry_stage)
+        self._cano_layers = jax.jit(cano_layers_stage)
+        self._lift_normals = jax.jit(lift_normals_stage)
+        self._skinning = jax.jit(skinning_stage)
+        self._recon_stage = jax.jit(recon_stage)
+        self._nerf_color = jax.jit(nerf_color_stage)
+        self._color_transfer = jax.jit(color_transfer_stage)
 
         _GRID_ARRAY_FIELDS = ("valid_pts", "valid_idx", "prior_volume",
                               "valid_mask", "c_pts", "c_idx", "c_fine_idx",

@@ -244,7 +244,7 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
 
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                       fusion_iters=100, max_tris=(1 << 19) + (1 << 18),
-                      max_active=1 << 19, pos_map_res=256,
+                      max_active=(1 << 18) + (1 << 17), pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
                       fit_template: bool = True):
     """Full-size AvatarCapture + one frame item (BASELINE config #4).

@@ -44,9 +44,11 @@ def main():
               inferred_normal=env["inferred_normal"], neck_vertex_idx=0,
               camera=env["cam"])
 
-    # warmup/compile frame
+    # warmup/compile frame — use a throwaway TIMER so the warmup compiles
+    # the staged programs being measured (the production path runs a
+    # separate fused whole-frame program)
     t0 = time.perf_counter()
-    res = capture.process_frame(item, **kw)
+    res = capture.process_frame(item, timer=StageTimer(), **kw)
     from avatarcap_tpu.utils.timers import sync
     sync(res)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f} s, "
