@@ -57,24 +57,30 @@ class StreamingCapture:
         self._grid = jax.device_put(grid, repl)
         self._shard0 = shard0
 
-        _grid = self._grid  # closed over: vol_res must stay static
+        vol_res = grid.vol_res  # static; the grid ARRAYS are threaded as
+        # jit arguments — baking them in as program constants overflows
+        # the remote-compile payload at capture sizes (see
+        # capture.frame_fused)
 
-        def one_frame(avatar_vars, statics, pos_map):
+        def one_frame(avatar_vars, statics, grid_arrays, pos_map):
+            g = CaptureGrid(*grid_arrays, vol_res=vol_res)
             feat, _ = compute_pose_features(avatar, avatar_vars,
                                             pos_map[None])
             out, _ = query_occupancy(avatar, avatar_vars,
-                                     _grid.valid_pts[None], feat, statics)
-            vol = _grid.prior_volume.at[_grid.valid_idx].set(
+                                     g.valid_pts[None], feat, statics)
+            vol = g.prior_volume.at[g.valid_idx].set(
                 out["cano_pts_ov"][0, :, 0], mode="drop")
-            return _extract_mesh(vol, _grid, statics.cano_bounds, iso_value,
-                                 max_tris, max_active)
+            return _extract_mesh(vol, g, statics.cano_bounds, iso_value,
+                                 max_tris, max_active,
+                                 normal_mode="trilinear")
 
         @functools.partial(jax.jit,
-                           in_shardings=(repl, repl, shard0, shard0),
+                           in_shardings=(repl, repl, repl, shard0, shard0),
                            out_shardings=shard0)
-        def geometry_batch(avatar_vars, statics, pos_maps, cano2live):
+        def geometry_batch(avatar_vars, statics, grid_arrays, pos_maps,
+                           cano2live):
             def per_frame(pos_map, c2l):
-                m = one_frame(avatar_vars, statics, pos_map)
+                m = one_frame(avatar_vars, statics, grid_arrays, pos_map)
                 lbs = approx_lbs_weights(m.vertices,
                                          statics.cano_smpl_vertices,
                                          statics.smpl_skinning_weights,
@@ -109,8 +115,11 @@ class StreamingCapture:
                 [it["cano2live_jnt_mats"] for it in chunk]))
             pos_maps = jax.device_put(pos_maps, self._shard0)
             c2l = jax.device_put(c2l, self._shard0)
+            grid_arrays = (self._grid.valid_pts, self._grid.valid_idx,
+                           self._grid.prior_volume)
             cano, live = self._geometry_batch(
-                self.avatar_vars, self._statics, pos_maps, c2l)
+                self.avatar_vars, self._statics, grid_arrays, pos_maps,
+                c2l)
             n = len(chunk) - pad
             for i in range(n):
                 results.append({
