@@ -71,6 +71,20 @@ def main():
           f"({1.0 / dt:.2f} fps) over {args.frames} frames")
     print(timer.report())
 
+    if not args.nerf and not args.no_recon:
+        # production path: the whole frame as one fused program (no
+        # per-stage sync or dispatch round-trips)
+        from avatarcap_tpu.utils.timers import sync as _sync
+        res = capture.process_frame(item, **kw)   # compile
+        _sync(res)
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            res = capture.process_frame(item, **kw)
+        _sync(res)
+        dt = (time.perf_counter() - t0) / args.frames
+        print(f"\nfused single-program frame: {dt * 1e3:.1f} ms "
+              f"({1.0 / dt:.2f} fps)")
+
 
 if __name__ == "__main__":
     main()
