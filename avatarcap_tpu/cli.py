@@ -134,11 +134,16 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
         valid_idx=jnp.asarray(ds.valid_pts_idx),
         prior_volume=jnp.asarray(ds.prior_volume),
         vol_res=tuple(cfg.testing.vol_res))
+    opt_kw = {"iso_value": cfg.iso_value,
+              "render_res": cfg.testing.render_res}
+    if cfg.testing.max_tris:
+        opt_kw["max_tris"] = cfg.testing.max_tris
+    if cfg.testing.max_active:
+        opt_kw["max_active"] = cfg.testing.max_active
     capture = AvatarCapture(module, avatar_vars, statics, grid,
                             recon=recon, recon_vars=recon_vars,
                             avatar_tex_vars=tex_vars,
-                            options=CaptureOptions(
-                                iso_value=cfg.iso_value))
+                            options=CaptureOptions(**opt_kw))
 
     cam = ds.data_config["camera"]
     data_num = len(ds) // ds.img_num_per_pose

@@ -53,6 +53,11 @@ class TestingConfig:
     net_ckpt_finetuned: Optional[str] = None
     testing_data_dir: str = ""
     output_dir: str = ""
+    # capture capacities (CaptureOptions defaults when 0; size to the
+    # subject/grid — overflow is reported on the output meshes)
+    max_tris: int = 0
+    max_active: int = 0
+    render_res: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
