@@ -20,7 +20,6 @@ and only final images/meshes leave the device.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
