@@ -92,3 +92,42 @@ class TestMcEdgeNormals:
         vhat = verts / np.maximum(
             np.linalg.norm(verts, axis=-1, keepdims=True), 1e-9)
         assert np.mean(np.sum(fast_n * vhat, -1)) > 0.99
+
+
+class TestNormalModes:
+    def test_three_modes_agree_on_sphere(self):
+        """'trilinear' (default), 'mc_edge', and 'sobel_sample' produce
+        near-identical outward normals on a smooth surface."""
+        import jax.numpy as jnp
+        from avatarcap_tpu.ops.marching_cubes import (marching_tets,
+                                                      mesh_grid_coords)
+        from avatarcap_tpu.ops.sobel import (extract_normal_volume,
+                                             sample_volume_normals)
+
+        res = 48
+        lin = np.linspace(-1, 1, res, dtype=np.float32)
+        g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+        sdf = 0.6 - np.linalg.norm(g / np.array([0.9, 0.7, 0.8]), axis=-1)
+        vol = jnp.asarray(sdf)
+        bmin = jnp.asarray([-1.0, -1.0, -1.0])
+        voxel = jnp.full((3,), 2.0 / res)
+        bounds = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+        kw = dict(max_tris=1 << 15, max_active=1 << 13)
+
+        m_tri = marching_tets(vol, 0.0, bmin, voxel, gradient_normals=True,
+                              **kw)
+        n = int(m_tri.num_tris)
+        assert n > 100
+        v = m_tri.vertices[: 3 * n]
+
+        nvol = extract_normal_volume(vol, voxel)
+        m_edge = marching_tets(vol, 0.0, bmin, voxel, normal_volume=nvol,
+                               **kw)
+        n_samp = sample_volume_normals(vol, voxel,
+                                       mesh_grid_coords(v, bounds))
+
+        a = np.asarray(m_tri.normals[: 3 * n])
+        b = np.asarray(m_edge.normals[: 3 * n])
+        c = np.asarray(n_samp)
+        assert (a * b).sum(-1).mean() > 0.995
+        assert (a * c).sum(-1).mean() > 0.995
