@@ -15,6 +15,12 @@ Per frame, stages 1-4 of run_avatarcap, all device-side:
 The reference crosses GPU<->CPU>=6x per frame (skimage MC, GL renders,
 normal EXR, torch chunk loops, SURVEY §3.2); here every stage is jitted
 and only final images/meshes leave the device.
+
+Every stage function takes the per-subject dynamic arrays explicitly as a
+``CaptureState`` pytree (first argument) — nothing is read through
+mutable instance attributes during tracing, so the fused whole-frame
+program, the per-stage jits, and vmapped streaming all share the same
+stage bodies re-entrantly.
 """
 
 from __future__ import annotations
@@ -62,6 +68,32 @@ class CaptureGrid(NamedTuple):
     c_fine_idx: jnp.ndarray = None  # (Nc_pad,) same nodes' FINE indices
     c_prior: jnp.ndarray = None     # (Xc*Yc*Zc,) coarse prior
     c_res: tuple = None             # static (Xc, Yc, Zc)
+
+
+# CaptureGrid fields that are (per-subject, device-resident) ARRAYS; the
+# remaining fields (vol_res, c_res) are static Python shape tuples and
+# must never cross a jit boundary as pytree leaves.
+GRID_ARRAY_FIELDS = ("valid_pts", "valid_idx", "prior_volume",
+                     "valid_mask", "c_pts", "c_idx", "c_fine_idx",
+                     "c_prior")
+
+
+class CaptureState(NamedTuple):
+    """Per-subject dynamic arrays, threaded explicitly through stages.
+
+    The per-subject constants (grid, statics, skinning volume, packed
+    kernel weights — several hundred MB) must arrive at the fused frame
+    program as ARGUMENTS: embedding them as XLA constants overflows the
+    remote-compile payload limit on the tunneled runtime. Threading them
+    as one pytree also keeps the stage functions pure, so the fused
+    frame, per-stage jits, and vmapped streaming can share the bodies.
+    """
+
+    grid: Any          # dict of CaptureGrid array fields (GRID_ARRAY_FIELDS)
+    statics: AvatarStatics
+    skin_wvol: Any = None      # (X, Y, Z, 12+J?) packed skinning volume
+    packed_query: Any = None   # pallas warp+template weights
+    packed_recon: Any = None   # pallas recon decoder weights
 
 
 def build_grid_hierarchy(grid: CaptureGrid, cano_bounds,
@@ -114,6 +146,87 @@ def _upsample2(c: jnp.ndarray, fine_res) -> jnp.ndarray:
     return out
 
 
+def hierarchical_volume(value_fn, grid: CaptureGrid, cano_bounds,
+                        c_prior, prior, iso, alpha: float,
+                        refine_capacity: int):
+    """Coarse-to-fine occupancy volume (see CaptureOptions).
+
+    Evaluate the implicit field on the 2x-coarse lattice first, refine
+    only fine nodes inside coarse cells whose corner range comes within
+    ``alpha`` x (local range) of the iso level.
+
+    Args:
+      value_fn: ``(pts (N, 3), fine_flat_idx (N,)) -> (N,)`` field values.
+      grid: CaptureGrid with the hierarchy fields populated
+        (`build_grid_hierarchy`); vol_res/c_res must be static tuples.
+      c_prior / prior: coarse / fine prior volumes IN THE FIELD'S OWN
+        value range (callers rescale, e.g. recon occupancy in [0, 1]).
+      iso: surface level in the field's range.
+
+    Returns (vol_flat (X*Y*Z,), query_overflow ()).
+    """
+    g = grid
+    X, Y, Z = g.vol_res
+    c_occ = value_fn(g.c_pts, g.c_fine_idx)
+    cvol = c_prior.at[g.c_idx].set(c_occ, mode="drop").reshape(g.c_res)
+    # Activation test on a SATURATION-CLAMPED copy: the prior is
+    # +-1 but e.g. an sdf-mode field clips at +-0.05, so cells on
+    # the band boundary would otherwise show a huge corner range
+    # and the alpha margin would activate the entire band surface
+    # (~2x the real surface in false positives, measured). The
+    # field's own saturation is its max |value - iso| over the
+    # queried band.
+    c_band = g.c_idx < int(np.prod(g.c_res))
+    sat = jnp.max(jnp.where(c_band, jnp.abs(c_occ - iso), 0.0))
+    cact = jnp.clip(cvol, iso - sat, iso + sat)
+    mx = jax.lax.reduce_window(cact, -jnp.inf, jax.lax.max,
+                               (2, 2, 2), (1, 1, 1), "valid")
+    mn = -jax.lax.reduce_window(-cact, -jnp.inf, jax.lax.max,
+                                (2, 2, 2), (1, 1, 1), "valid")
+    rng8 = mx - mn
+    act = ((mx >= iso - alpha * rng8)
+           & (mn <= iso + alpha * rng8))
+    # coarse cell ci covers fine cells [2ci, 2ci+1]; edge cells
+    # beyond the coarse lattice are conservatively active
+    F = act
+    for axis in range(3):
+        F = jnp.repeat(F, 2, axis=axis)
+    F = jnp.pad(F, [(0, max(0, (X - 1) - F.shape[0])),
+                    (0, max(0, (Y - 1) - F.shape[1])),
+                    (0, max(0, (Z - 1) - F.shape[2]))],
+                constant_values=True)[:X - 1, :Y - 1, :Z - 1]
+    # node mask: a node is refined iff it touches an active cell
+    node = F
+    for axis, n in ((0, X), (1, Y), (2, Z)):
+        pl = [(0, 0)] * 3
+        pr = [(0, 0)] * 3
+        pl[axis] = (1, 0)
+        pr[axis] = (0, 1)
+        node = jnp.pad(node, pl) | jnp.pad(node, pr)
+    node = node & g.valid_mask.reshape(X, Y, Z)
+
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    r_cap = min(refine_capacity, X * Y * Z)
+    ridx, n_r, live = compact_mask_indices(node.reshape(-1), r_cap)
+    q_overflow = n_r > r_cap
+    zi = ridx & (Z - 1) if Z & (Z - 1) == 0 else ridx % Z
+    col = (ridx >> (Z.bit_length() - 1) if Z & (Z - 1) == 0
+           else ridx // Z)
+    yi = col % Y
+    xi = col // Y
+    lo = cano_bounds[0]
+    hi = cano_bounds[1]
+    frac = jnp.stack([xi / (X - 1), yi / (Y - 1), zi / (Z - 1)],
+                     axis=-1).astype(jnp.float32)
+    rpts = jnp.where(live[:, None], lo + frac * (hi - lo), 0.0)
+    r_occ = value_fn(rpts, jnp.where(live, ridx, 0))
+    vol = _upsample2(cvol, (X, Y, Z)).reshape(-1)
+    vol = vol.at[jnp.where(live, ridx, X * Y * Z)].set(
+        r_occ, mode="drop")
+    vol = jnp.where(g.valid_mask, vol, prior)
+    return vol, q_overflow
+
+
 class CaptureMesh(NamedTuple):
     vertices: jnp.ndarray      # (3*max_tris, 3) triangle soup
     normals: jnp.ndarray       # (3*max_tris, 3)
@@ -139,6 +252,12 @@ class CaptureOptions:
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
+    # NeRF vertex colors are integrated for every triangle-soup slot
+    # (3*max_tris rays x n_samples): unchunked that is a >100 GB
+    # activation at capture size. Chunks of 16k rays (1M samples) keep
+    # peak activations ~1 GB while each chunk still fills the MXU; the
+    # reference chunks the same loop at 2048 (main.py:469).
+    nerf_chunk: int = 16384
     use_fused_query: bool = True     # Pallas fast path for the grid query
     # 'volume': per-subject KNN-LBS weight grid + trilinear matrix
     # sampling (see body/skinning.py); 'knn': exact per-vertex KNN like
@@ -218,7 +337,6 @@ class AvatarCapture:
         self.avatar_vars = avatar_vars
         self.avatar_tex_vars = avatar_tex_vars or avatar_vars
         self.statics = statics
-        self.grid = grid
         self.recon = recon
         self.recon_vars = recon_vars
         self.opt = options
@@ -234,138 +352,104 @@ class AvatarCapture:
         use_fused = o.use_fused_query and jax.default_backend() == "tpu"
         o = dataclasses.replace(o, use_fused_query=use_fused)
         self.opt = o
-        self._packed_query = (pack_fused_query_weights(avatar_vars)
-                              if o.use_fused_query else None)
+        packed_query = (pack_fused_query_weights(avatar_vars)
+                        if o.use_fused_query else None)
 
         if o.hierarchical_query and grid.c_idx is None:
             grid = build_grid_hierarchy(grid, statics.cano_bounds)
-            self.grid = grid
-        use_hier = o.hierarchical_query and self.grid.c_idx is not None
+        self.grid = grid
+        use_hier = o.hierarchical_query and grid.c_idx is not None
 
-        def hier_volume(value_fn, c_prior, prior, iso):
-            """Coarse-to-fine occupancy volume (see CaptureOptions).
+        if o.skinning_mode == "volume":
+            from avatarcap_tpu.body.skinning import build_skin_weight_volume
+            skin_wvol = build_skin_weight_volume(
+                statics.cano_smpl_vertices, statics.smpl_skinning_weights,
+                statics.cano_bounds, voxel=o.skin_voxel)
+        else:
+            skin_wvol = None
 
-            value_fn(pts (N, 3), fine_flat_idx (N,)) -> (N,) field values.
-            Returns (vol_flat (X*Y*Z,), query_overflow ()).
-            """
-            g = self.grid
-            X, Y, Z = g.vol_res
-            c_occ = value_fn(g.c_pts, g.c_fine_idx)
-            cvol = c_prior.at[g.c_idx].set(c_occ, mode="drop") \
-                .reshape(g.c_res)
-            # Activation test on a SATURATION-CLAMPED copy: the prior is
-            # +-1 but e.g. an sdf-mode field clips at +-0.05, so cells on
-            # the band boundary would otherwise show a huge corner range
-            # and the alpha margin would activate the entire band surface
-            # (~2x the real surface in false positives, measured). The
-            # field's own saturation is its max |value - iso| over the
-            # queried band.
-            c_band = g.c_idx < int(np.prod(g.c_res))
-            sat = jnp.max(jnp.where(c_band, jnp.abs(c_occ - iso), 0.0))
-            cact = jnp.clip(cvol, iso - sat, iso + sat)
-            mx = jax.lax.reduce_window(cact, -jnp.inf, jax.lax.max,
-                                       (2, 2, 2), (1, 1, 1), "valid")
-            mn = -jax.lax.reduce_window(-cact, -jnp.inf, jax.lax.max,
-                                        (2, 2, 2), (1, 1, 1), "valid")
-            rng8 = mx - mn
-            act = ((mx >= iso - o.hier_alpha * rng8)
-                   & (mn <= iso + o.hier_alpha * rng8))
-            # coarse cell ci covers fine cells [2ci, 2ci+1]; edge cells
-            # beyond the coarse lattice are conservatively active
-            F = act
-            for axis in range(3):
-                F = jnp.repeat(F, 2, axis=axis)
-            F = jnp.pad(F, [(0, max(0, (X - 1) - F.shape[0])),
-                            (0, max(0, (Y - 1) - F.shape[1])),
-                            (0, max(0, (Z - 1) - F.shape[2]))],
-                        constant_values=True)[:X - 1, :Y - 1, :Z - 1]
-            # node mask: a node is refined iff it touches an active cell
-            node = F
-            for axis, n in ((0, X), (1, Y), (2, Z)):
-                pl = [(0, 0)] * 3
-                pr = [(0, 0)] * 3
-                pl[axis] = (1, 0)
-                pr[axis] = (0, 1)
-                node = jnp.pad(node, pl) | jnp.pad(node, pr)
-            node = node & g.valid_mask.reshape(X, Y, Z)
+        if o.use_fused_query and recon_vars is not None:
+            from avatarcap_tpu.ops.pallas_query import pack_recon_weights
+            packed_recon = pack_recon_weights(
+                recon_vars["params"]["image_decoder"])
+        else:
+            packed_recon = None
 
-            from avatarcap_tpu.ops.compaction import compact_mask_indices
-            r_cap = min(o.refine_capacity, X * Y * Z)
-            ridx, n_r, live = compact_mask_indices(node.reshape(-1), r_cap)
-            q_overflow = n_r > r_cap
-            zi = ridx & (Z - 1) if Z & (Z - 1) == 0 else ridx % Z
-            col = (ridx >> (Z.bit_length() - 1) if Z & (Z - 1) == 0
-                   else ridx // Z)
-            yi = col % Y
-            xi = col // Y
-            lo = self.statics.cano_bounds[0]
-            hi = self.statics.cano_bounds[1]
-            frac = jnp.stack([xi / (X - 1), yi / (Y - 1), zi / (Z - 1)],
-                             axis=-1).astype(jnp.float32)
-            rpts = jnp.where(live[:, None], lo + frac * (hi - lo), 0.0)
-            r_occ = value_fn(rpts, jnp.where(live, ridx, 0))
-            vol = _upsample2(cvol, (X, Y, Z)).reshape(-1)
-            vol = vol.at[jnp.where(live, ridx, X * Y * Z)].set(
-                r_occ, mode="drop")
-            vol = jnp.where(g.valid_mask, vol, prior)
-            return vol, q_overflow
+        self.state = CaptureState(
+            grid={k: getattr(grid, k) for k in GRID_ARRAY_FIELDS
+                  if getattr(grid, k) is not None},
+            statics=statics, skin_wvol=skin_wvol,
+            packed_query=packed_query, packed_recon=packed_recon)
+        # convenience aliases (benchmarks reach for the packed weights)
+        self._packed_query = packed_query
+        self._packed_recon = packed_recon
+        self._skin_wvol = skin_wvol
 
-        _Z = self.grid.vol_res[2]
+        # Static shape/config values the stage closures may capture:
+        # everything DYNAMIC arrives via the CaptureState argument.
+        grid_static = grid
+        avatar_module = avatar
+        recon_module = recon
+
+        _Z = grid.vol_res[2]
         if _Z & (_Z - 1) == 0:
             _zb = _Z.bit_length() - 1
             col_of = lambda fidx: fidx >> _zb  # noqa: E731
         else:
             col_of = lambda fidx: fidx // _Z  # noqa: E731
 
-        def avatar_geometry_stage(avatar_vars, frame: FrameInputs):
-            feat, _ = compute_pose_features(self.avatar, avatar_vars,
+        def avatar_geometry_stage(st: CaptureState, avatar_vars,
+                                  frame: FrameInputs):
+            g = grid_static._replace(**st.grid)
+            statics = st.statics
+            feat, _ = compute_pose_features(avatar_module, avatar_vars,
                                             frame.smpl_pos_map)
             if o.use_fused_query:
                 if use_hier:
                     pf_cols = grid_pose_features(
-                        feat, self.statics, self.grid.vol_res,
+                        feat, statics, g.vol_res,
                         dtype=jnp.bfloat16, columns=True)
 
                     def vf(pts, fidx):
                         pf = pf_cols[col_of(fidx)]
                         return warp_template_query_fused(
-                            self._packed_query["offset"],
-                            self._packed_query["template"],
+                            st.packed_query["offset"],
+                            st.packed_query["template"],
                             pts, pf)["occ"][:, 0]
 
-                    vol, q_ovf = hier_volume(vf, self.grid.c_prior,
-                                             self.grid.prior_volume,
-                                             o.iso_value)
+                    vol, q_ovf = hierarchical_volume(
+                        vf, g, statics.cano_bounds, g.c_prior,
+                        g.prior_volume, o.iso_value, o.hier_alpha,
+                        o.refine_capacity)
                 else:
                     # grid-structured pose features (z-broadcast) +
                     # one-kernel warp+template query
-                    pf = grid_pose_features(feat, self.statics,
-                                            self.grid.vol_res,
-                                            self.grid.valid_idx,
+                    pf = grid_pose_features(feat, statics, g.vol_res,
+                                            g.valid_idx,
                                             dtype=jnp.bfloat16)
                     qout = warp_template_query_fused(
-                        self._packed_query["offset"],
-                        self._packed_query["template"],
-                        self.grid.valid_pts, pf)
-                    vol = self.grid.prior_volume.at[
-                        self.grid.valid_idx].set(qout["occ"][:, 0],
-                                                 mode="drop")
+                        st.packed_query["offset"],
+                        st.packed_query["template"],
+                        g.valid_pts, pf)
+                    vol = g.prior_volume.at[g.valid_idx].set(
+                        qout["occ"][:, 0], mode="drop")
             elif use_hier:
                 def vf_xla(pts, fidx):
-                    out, _ = query_occupancy(self.avatar, avatar_vars,
-                                             pts[None], feat, self.statics)
+                    out, _ = query_occupancy(avatar_module, avatar_vars,
+                                             pts[None], feat, statics)
                     return out["cano_pts_ov"][0, :, 0]
 
-                vol, q_ovf = hier_volume(vf_xla, self.grid.c_prior,
-                                         self.grid.prior_volume,
-                                         o.iso_value)
+                vol, q_ovf = hierarchical_volume(
+                    vf_xla, g, statics.cano_bounds, g.c_prior,
+                    g.prior_volume, o.iso_value, o.hier_alpha,
+                    o.refine_capacity)
             else:
-                out, _ = query_occupancy(self.avatar, avatar_vars,
-                                         self.grid.valid_pts[None], feat,
-                                         self.statics)
-                vol = self.grid.prior_volume.at[self.grid.valid_idx].set(
+                out, _ = query_occupancy(avatar_module, avatar_vars,
+                                         g.valid_pts[None], feat,
+                                         statics)
+                vol = g.prior_volume.at[g.valid_idx].set(
                     out["cano_pts_ov"][0, :, 0], mode="drop")
-            mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
+            mesh = _extract_mesh(vol, g, statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active,
                                  o.normal_mode)
             if use_hier:
@@ -403,27 +487,18 @@ class AvatarCapture:
                 fx, fy, cx, cy, img_h, img_w, window=o.raster_window)
             return cano_interpolate(fri, bri, proj_n_tris)
 
-        if o.skinning_mode == "volume":
-            from avatarcap_tpu.body.skinning import (
-                build_skin_weight_volume, skin_points_by_volume)
-            self._skin_wvol = build_skin_weight_volume(
-                statics.cano_smpl_vertices, statics.smpl_skinning_weights,
-                statics.cano_bounds, voxel=o.skin_voxel)
-        else:
-            self._skin_wvol = None
-
-        def skinning_stage(mesh: CaptureMesh, cano2live):
+        def skinning_stage(st: CaptureState, mesh: CaptureMesh, cano2live):
             """Avatar mesh -> live space (reference main.py:383-394)."""
             if o.skinning_mode == "volume":
                 from avatarcap_tpu.body.skinning import skin_points_by_volume
                 live_v, pt_mats = skin_points_by_volume(
-                    mesh.vertices, self._skin_wvol,
-                    self.statics.cano_bounds, cano2live,
+                    mesh.vertices, st.skin_wvol,
+                    st.statics.cano_bounds, cano2live,
                     return_pt_mats=True)
             else:
                 lbs = approx_lbs_weights(mesh.vertices,
-                                         self.statics.cano_smpl_vertices,
-                                         self.statics.smpl_skinning_weights)
+                                         st.statics.cano_smpl_vertices,
+                                         st.statics.smpl_skinning_weights)
                 live_v, pt_mats = skin_points(mesh.vertices, lbs, cano2live,
                                               return_pt_mats=True)
             live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
@@ -432,94 +507,158 @@ class AvatarCapture:
                                mesh.overflow), \
                 pt_mats
 
-        if o.use_fused_query and recon_vars is not None:
-            from avatarcap_tpu.ops.pallas_query import pack_recon_weights
-            self._packed_recon = pack_recon_weights(
-                recon_vars["params"]["image_decoder"])
-        else:
-            self._packed_recon = None
-
-        def recon_stage(recon_vars, front_normal, back_normal):
+        def recon_stage(st: CaptureState, recon_vars, front_normal,
+                        back_normal):
             """Fused normals -> occupancy volume -> mesh
             (reference main.py:435-445)."""
+            g = grid_static._replace(**st.grid)
+            statics = st.statics
             img = jnp.concatenate([front_normal, back_normal],
                                   axis=-1)[None]          # (1, H, W, 6)
-            feat_map = self.recon.apply(recon_vars, img,
-                                        method=ReconNetwork.get_feat_maps)
+            feat_map = recon_module.apply(recon_vars, img,
+                                          method=ReconNetwork.get_feat_maps)
             # recon occupancy iso is 0.5; prior volume is in [-1, 1] ->
             # rescale prior to [0, 1] for a consistent surface crossing
-            prior01 = 0.5 * (self.grid.prior_volume + 1.0)
+            prior01 = 0.5 * (g.prior_volume + 1.0)
             if o.use_fused_query:
                 from avatarcap_tpu.ops.pallas_query import recon_decode_fused
                 if use_hier:
                     pf_cols = grid_pose_features(
-                        feat_map, self.statics, self.grid.vol_res,
-                        columns=True)
+                        feat_map, statics, g.vol_res, columns=True)
 
                     def vfr(pts, fidx):
                         pf = pf_cols[col_of(fidx)]
-                        z = pts[:, 2] - self.statics.cano_smpl_center[2]
+                        z = pts[:, 2] - statics.cano_smpl_center[2]
                         feats = jnp.concatenate([pf, z[:, None]], axis=-1)
-                        return recon_decode_fused(self._packed_recon, feats)
+                        return recon_decode_fused(st.packed_recon, feats)
 
-                    vol, q_ovf = hier_volume(
-                        vfr, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
+                    vol, q_ovf = hierarchical_volume(
+                        vfr, g, statics.cano_bounds,
+                        0.5 * (g.c_prior + 1.0), prior01, 0.5,
+                        o.hier_alpha, o.refine_capacity)
                 else:
                     # grid-structured pixel-aligned fetch + fused decoder
-                    pf = grid_pose_features(feat_map, self.statics,
-                                            self.grid.vol_res,
-                                            self.grid.valid_idx)
-                    z = (self.grid.valid_pts[:, 2]
-                         - self.statics.cano_smpl_center[2])
+                    pf = grid_pose_features(feat_map, statics, g.vol_res,
+                                            g.valid_idx)
+                    z = (g.valid_pts[:, 2]
+                         - statics.cano_smpl_center[2])
                     feats = jnp.concatenate([pf, z[:, None]], axis=-1)
-                    ov = recon_decode_fused(self._packed_recon, feats)
-                    vol = prior01.at[self.grid.valid_idx].set(ov,
-                                                              mode="drop")
+                    ov = recon_decode_fused(st.packed_recon, feats)
+                    vol = prior01.at[g.valid_idx].set(ov, mode="drop")
             elif use_hier:
                 def vfr_xla(pts, fidx):
-                    return self.recon.apply(
+                    return recon_module.apply(
                         recon_vars, feat_map, pts[None],
-                        self.statics.cano_smpl_center[None],
+                        statics.cano_smpl_center[None],
                         method=ReconNetwork.decode_points)[0]
 
-                vol, q_ovf = hier_volume(
-                    vfr_xla, 0.5 * (self.grid.c_prior + 1.0), prior01, 0.5)
+                vol, q_ovf = hierarchical_volume(
+                    vfr_xla, g, statics.cano_bounds,
+                    0.5 * (g.c_prior + 1.0), prior01, 0.5,
+                    o.hier_alpha, o.refine_capacity)
             else:
-                ov = self.recon.apply(
-                    recon_vars, feat_map, self.grid.valid_pts[None],
-                    self.statics.cano_smpl_center[None],
+                ov = recon_module.apply(
+                    recon_vars, feat_map, g.valid_pts[None],
+                    statics.cano_smpl_center[None],
                     method=ReconNetwork.decode_points)[0]
-                vol = prior01.at[self.grid.valid_idx].set(ov, mode="drop")
-            mesh = _extract_mesh(vol, self.grid, self.statics.cano_bounds,
+                vol = prior01.at[g.valid_idx].set(ov, mode="drop")
+            mesh = _extract_mesh(vol, g, statics.cano_bounds,
                                  0.5, o.max_tris, o.max_active,
                                  o.normal_mode)
             if use_hier:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh
 
-        def nerf_color_stage(tex_vars, feat, frame: FrameInputs,
-                             cano_mesh: CaptureMesh):
+        def nerf_color_stage(st: CaptureState, tex_vars, feat,
+                             frame: FrameInputs, cano_mesh: CaptureMesh):
             """Vertex colors by integrating along -normal rays in cano
-            space (reference main.py:464-478)."""
-            v = cano_mesh.vertices[None]
-            n = cano_mesh.normals[None]
-            depth = jnp.ones(v.shape[:2], v.dtype)
-            out, _ = render_rays(
-                self.avatar, tex_vars, v + n, -n, depth - 0.05, depth + 0.05,
-                depth, feat, frame, self.statics, n_samples=o.n_samples,
-                pts_space="cano", near_dist=0.02, far_dist=0.05)
-            return out["rgb_map"][0]
+            space (reference main.py:464-478), chunked like the
+            reference's 2048-ray loop (see CaptureOptions.nerf_chunk)."""
+            v = cano_mesh.vertices
+            n = cano_mesh.normals
+            N = v.shape[0]
+            chunk = min(o.nerf_chunk, N)
+            pad = (-N) % chunk
+            vp = jnp.pad(v, ((0, pad), (0, 0)))
+            np_r = jnp.pad(n, ((0, pad), (0, 0)))
+            C = (N + pad) // chunk
+
+            def body(args):
+                vv, nn = args
+                depth = jnp.ones(vv.shape[:1], vv.dtype)[None]
+                out, _ = render_rays(
+                    avatar_module, tex_vars, (vv + nn)[None], -nn[None],
+                    depth - 0.05, depth + 0.05, depth, feat, frame,
+                    st.statics, n_samples=o.n_samples, pts_space="cano",
+                    near_dist=0.02, far_dist=0.05)
+                return out["rgb_map"][0]
+
+            rgb = jax.lax.map(body, (vp.reshape(C, chunk, 3),
+                                     np_r.reshape(C, chunk, 3)))
+            return rgb.reshape(-1, 3)[:N]
 
         def color_transfer_stage(recon_verts, avatar_verts, avatar_colors):
             """NN color transfer (reference main.py:480-485)."""
             _, idx = knn(recon_verts, avatar_verts, k=1)
             return avatar_colors[idx[:, 0]]
 
-        # The staged path jits each stage separately; the fused frame
-        # calls the PLAIN functions — calling the jitted wrappers inside
-        # the fused trace would poison their caches with tracer-closures
-        # (jit cache keys ignore closure contents), breaking any staged
-        # call afterwards.
+        def frame_body(st: CaptureState, avatar_vars, recon_vars, tex_vars,
+                       frame: FrameInputs, jnt_mats, inferred_normal, w2c,
+                       proj, fx, fy, cx, cy, neck_xy,
+                       w_recon: bool = True, w_nerf: bool = False):
+            """The full per-frame pipeline as one traceable function.
+
+            Pure in its arguments (st carries every per-subject array),
+            so it is jitted whole for production frames, vmapped over a
+            frame axis by pipeline/streaming.py, and shared by the
+            per-stage profiled path.
+            """
+            cano_mesh, feat = avatar_geometry_stage(st, avatar_vars, frame)
+            (fri, bri, front_avatar_n, back_avatar_n,
+             phong) = cano_layers_stage(cano_mesh)
+            live_mesh, pt_mats = skinning_stage(st, cano_mesh, jnt_mats)
+            results = {
+                "cano_mesh": cano_mesh,
+                "live_mesh": live_mesh,
+                "cano_phong": phong,
+                "front_avatar_normal": front_avatar_n,
+                "back_avatar_normal": back_avatar_n,
+            }
+            if w_recon:
+                front_img_n, back_img_n = lift_normals_stage(
+                    fri, bri, live_mesh, cano_mesh.valid, inferred_normal,
+                    pt_mats, w2c, proj, fx, fy, cx, cy)
+                if o.integrate_manner == "merge":
+                    front_merged = merge_normal_images(
+                        front_avatar_n, front_img_n, neck_xy,
+                        iter_num=o.fusion_iters)
+                else:
+                    front_merged = merge_normal_images_cover(
+                        front_avatar_n, front_img_n)
+                back_merged = back_avatar_n      # reference main.py:430
+                recon_mesh = recon_stage(st, recon_vars, front_merged,
+                                         back_merged)
+                live_recon, _ = skinning_stage(st, recon_mesh, jnt_mats)
+                results.update({
+                    "front_merged_normal": front_merged,
+                    "front_image_normal": front_img_n,
+                    "recon_mesh": recon_mesh,
+                    "live_recon_mesh": live_recon,
+                })
+            if w_nerf:
+                colors = nerf_color_stage(st, tex_vars, feat, frame,
+                                          cano_mesh)
+                # bgr->rgb (ref :477)
+                results["avatar_colors"] = colors[..., ::-1]
+                if w_recon:
+                    results["recon_colors"] = color_transfer_stage(
+                        results["recon_mesh"].vertices, cano_mesh.vertices,
+                        results["avatar_colors"])
+            return results
+
+        # The staged path jits each stage separately (per-stage timing);
+        # the fused frame jits frame_body whole — one dispatch, XLA
+        # overlaps stages. Both call the SAME plain stage functions.
         self._avatar_geometry = jax.jit(avatar_geometry_stage)
         self._cano_layers = jax.jit(cano_layers_stage)
         self._lift_normals = jax.jit(lift_normals_stage)
@@ -527,82 +666,20 @@ class AvatarCapture:
         self._recon_stage = jax.jit(recon_stage)
         self._nerf_color = jax.jit(nerf_color_stage)
         self._color_transfer = jax.jit(color_transfer_stage)
-
-        _GRID_ARRAY_FIELDS = ("valid_pts", "valid_idx", "prior_volume",
-                              "valid_mask", "c_pts", "c_idx", "c_fine_idx",
-                              "c_prior")
-
-        @jax.jit
-        def frame_fused(avatar_vars, recon_vars, frame: FrameInputs,
-                        jnt_mats, inferred_normal, w2c, proj,
-                        fx, fy, cx, cy, neck_xy,
-                        grid_arrays, statics, skin_wvol,
-                        packed_query, packed_recon):
-            """The full w_recon frame as ONE program. The staged path
-            pays one dispatch round-trip per stage (~36 ms each through
-            the tunneled runtime) and blocks XLA from overlapping
-            stages; production/bench frames go through here, the staged
-            path stays for per-stage profiling (timer=...).
-
-            The per-subject constants (grid, statics, skinning volume,
-            packed kernel weights — several hundred MB) arrive as
-            ARGUMENTS: the per-stage jits embed them as program
-            constants, which is fine per stage but overflows the
-            compile-payload limit when everything lands in one program.
-            The stage closures read them through `self`, so they are
-            rebound to the traced values for the duration of tracing.
-            """
-            saved = (self.grid, self.statics, self._skin_wvol,
-                     self._packed_query, self._packed_recon)
-            self.grid = self.grid._replace(**grid_arrays)
-            self.statics = statics
-            self._skin_wvol = skin_wvol
-            self._packed_query = packed_query
-            self._packed_recon = packed_recon
-            try:
-                return _frame_body(avatar_vars, recon_vars, frame,
-                                   jnt_mats, inferred_normal, w2c, proj,
-                                   fx, fy, cx, cy, neck_xy)
-            finally:
-                (self.grid, self.statics, self._skin_wvol,
-                 self._packed_query, self._packed_recon) = saved
-
-        def _frame_body(avatar_vars, recon_vars, frame, jnt_mats,
-                        inferred_normal, w2c, proj, fx, fy, cx, cy,
-                        neck_xy):
-            cano_mesh, feat = avatar_geometry_stage(avatar_vars, frame)
-            (fri, bri, front_avatar_n, back_avatar_n,
-             cano_phong) = cano_layers_stage(cano_mesh)
-            live_mesh, pt_mats = skinning_stage(cano_mesh, jnt_mats)
-            front_img_n, back_img_n = lift_normals_stage(
-                fri, bri, live_mesh, cano_mesh.valid, inferred_normal,
-                pt_mats, w2c, proj, fx, fy, cx, cy)
-            if o.integrate_manner == "merge":
-                front_merged = merge_normal_images(
-                    front_avatar_n, front_img_n, neck_xy,
-                    iter_num=o.fusion_iters)
-            else:
-                front_merged = merge_normal_images_cover(front_avatar_n,
-                                                         front_img_n)
-            back_merged = back_avatar_n          # reference main.py:430
-            recon_mesh = recon_stage(recon_vars, front_merged, back_merged)
-            live_recon, _ = skinning_stage(recon_mesh, jnt_mats)
-            return {
-                "cano_mesh": cano_mesh,
-                "live_mesh": live_mesh,
-                "cano_phong": cano_phong,
-                "front_avatar_normal": front_avatar_n,
-                "back_avatar_normal": back_avatar_n,
-                "front_merged_normal": front_merged,
-                "front_image_normal": front_img_n,
-                "recon_mesh": recon_mesh,
-                "live_recon_mesh": live_recon,
-            }
-
-        self._frame_fused = frame_fused
-        self._grid_array_fields = _GRID_ARRAY_FIELDS
+        self.frame_body = frame_body
+        self._frame_fused = jax.jit(
+            frame_body, static_argnames=("w_recon", "w_nerf"))
 
     # ------------------------------------------------------------------
+
+    def _neck_xy(self, neck_vertex_idx: int):
+        neck_v = np.asarray(
+            self.statics.cano_smpl_vertices[neck_vertex_idx]) \
+            - np.asarray(self.statics.cano_smpl_center)
+        neck_y = int((1.0 - neck_v[1]) / 2.0 * self.opt.render_res)
+        neck_x = int((neck_v[0] - 1.0) / 2.0 * self.opt.render_res) \
+            % self.opt.render_res
+        return jnp.asarray([neck_x, neck_y], jnp.int32)
 
     def process_frame(self, item: Dict[str, Any], w_recon: bool = True,
                       w_nerf: bool = False,
@@ -627,8 +704,8 @@ class AvatarCapture:
             cano2live_jnt_mats=jnp.asarray(item["cano2live_jnt_mats"])[None],
             smpl_pos_map=jnp.asarray(item["smpl_pos_map"])[None])
 
-        if timer is None and w_recon and not w_nerf:
-            # production path: one fused dispatch (see frame_fused)
+        if timer is None and w_recon:
+            # production path: one fused dispatch (see frame_body)
             assert self.recon is not None and inferred_normal is not None
             img_h, img_w = inferred_normal.shape[:2]
             cam = camera
@@ -636,27 +713,19 @@ class AvatarCapture:
             proj = gl_perspective_projection_matrix(fx, fy, cx, cy,
                                                     img_w, img_h,
                                                     gl_space=False)
-            neck_v = np.asarray(
-                self.statics.cano_smpl_vertices[neck_vertex_idx]) \
-                - np.asarray(self.statics.cano_smpl_center)
-            neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
-            neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
-                % o.render_res
-            grid_arrays = {k: getattr(self.grid, k)
-                           for k in self._grid_array_fields
-                           if getattr(self.grid, k) is not None}
             return self._frame_fused(
-                self.avatar_vars, self.recon_vars, frame,
+                self.state, self.avatar_vars, self.recon_vars,
+                self.avatar_tex_vars, frame,
                 jnp.asarray(item["cano2live_jnt_mats"]),
                 jnp.asarray(inferred_normal), jnp.asarray(item["w2c_RT"]),
                 jnp.asarray(proj), fx, fy, cx, cy,
-                jnp.asarray([neck_x, neck_y], jnp.int32),
-                grid_arrays, self.statics, self._skin_wvol,
-                self._packed_query, self._packed_recon)
+                self._neck_xy(neck_vertex_idx),
+                w_recon=True, w_nerf=w_nerf)
 
         # Stage 1: avatar geometry
         with StageTimer.maybe(timer, "1_grid_query_mc"):
-            cano_mesh, feat = self._avatar_geometry(self.avatar_vars, frame)
+            cano_mesh, feat = self._avatar_geometry(self.state,
+                                                    self.avatar_vars, frame)
             if timer:
                 timer.observe((cano_mesh, feat))
         with StageTimer.maybe(timer, "1_cano_renders"):
@@ -666,7 +735,8 @@ class AvatarCapture:
                 timer.observe((front_avatar_n, back_avatar_n, cano_phong))
         with StageTimer.maybe(timer, "1_skinning"):
             live_mesh, pt_mats = self._skinning(
-                cano_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+                self.state, cano_mesh,
+                jnp.asarray(item["cano2live_jnt_mats"]))
             if timer:
                 timer.observe((live_mesh, pt_mats))
 
@@ -699,15 +769,9 @@ class AvatarCapture:
             with StageTimer.maybe(timer, "2_merge_normals"):
                 if o.integrate_manner == "merge":
                     # neck position on the canonical image (ref :420-422)
-                    neck_v = np.asarray(
-                        self.statics.cano_smpl_vertices[neck_vertex_idx]) \
-                        - np.asarray(self.statics.cano_smpl_center)
-                    neck_y = int((1.0 - neck_v[1]) / 2.0 * o.render_res)
-                    neck_x = int((neck_v[0] - 1.0) / 2.0 * o.render_res) \
-                        % o.render_res
                     front_merged = merge_normal_images(
                         front_avatar_n, front_img_n,
-                        jnp.asarray([neck_x, neck_y], jnp.int32),
+                        self._neck_xy(neck_vertex_idx),
                         iter_num=o.fusion_iters)
                 else:
                     front_merged = merge_normal_images_cover(front_avatar_n,
@@ -718,13 +782,14 @@ class AvatarCapture:
 
             # Stage 3: ReconNet
             with StageTimer.maybe(timer, "3_recon_query_mc"):
-                recon_mesh = self._recon_stage(self.recon_vars, front_merged,
-                                               back_merged)
+                recon_mesh = self._recon_stage(self.state, self.recon_vars,
+                                               front_merged, back_merged)
                 if timer:
                     timer.observe(recon_mesh)
             with StageTimer.maybe(timer, "3_recon_skinning"):
                 live_recon, _ = self._skinning(
-                    recon_mesh, jnp.asarray(item["cano2live_jnt_mats"]))
+                    self.state, recon_mesh,
+                    jnp.asarray(item["cano2live_jnt_mats"]))
                 if timer:
                     timer.observe(live_recon)
             results.update({
@@ -736,8 +801,8 @@ class AvatarCapture:
 
         if w_nerf:
             with StageTimer.maybe(timer, "4_nerf_colors"):
-                colors = self._nerf_color(self.avatar_tex_vars, feat, frame,
-                                          cano_mesh)
+                colors = self._nerf_color(self.state, self.avatar_tex_vars,
+                                          feat, frame, cano_mesh)
                 # bgr->rgb (ref :477)
                 results["avatar_colors"] = colors[..., ::-1]
                 if w_recon:

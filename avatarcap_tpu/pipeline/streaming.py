@@ -1,129 +1,153 @@
 """Streaming multi-frame capture over a device mesh (BASELINE config #5).
 
 The reference processes video strictly frame-by-frame on one GPU with >=6
-host round-trips per frame (SURVEY §3.2). Here a batch of frames — pose
-maps, SMPL joint transforms, live vertices — is stacked and sharded over
-the mesh's data axis; the whole geometry stage (pose U-Net -> warp+template
-query over the canonical grid -> volume scatter -> marching tets) runs as
-ONE jitted, vmapped program, so each device produces its frame's mesh with
-zero cross-device communication (the weights are replicated; there is
-nothing to all-gather until meshes are consumed).
+host round-trips per frame (SURVEY §3.2, reference main.py:348-504). Here
+a batch of frames — pose maps, SMPL joint transforms, inferred normal
+images — is stacked and sharded over the mesh's data axis, and the FULL
+per-frame pipeline (avatar geometry -> canonical renders -> LBS skinning
+-> normal fusion -> ReconNet -> recon skinning -> optional NeRF colors)
+runs as ONE jitted, vmapped program: `AvatarCapture.frame_body` is pure in
+its `CaptureState` argument, so the exact production single-frame program
+is the thing being vmapped — no separate streaming implementation to
+drift.
 
-On a v5e-4 this gives ~4x frame throughput; on one chip it degenerates to
-an efficient batched pipeline.
+Each device produces its frames' meshes with zero cross-device
+communication (weights/state replicated; nothing to all-gather until
+results are consumed). On a v5e-4 this gives ~4x frame throughput; on one
+chip it amortizes dispatch and batches the latency-bound small stages
+(fusion Adam, raster bookkeeping) across frames.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Iterable, List
+from typing import Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avatarcap_tpu.models.avatar import GeoTexAvatar
-from avatarcap_tpu.pipeline.avatar import (
-    AvatarStatics, compute_pose_features, query_occupancy)
-from avatarcap_tpu.pipeline.capture import CaptureGrid, CaptureMesh, \
-    _extract_mesh
-from avatarcap_tpu.ops.knn import approx_lbs_weights
-from avatarcap_tpu.body.skinning import skin_points
+from avatarcap_tpu.pipeline.avatar import FrameInputs
+from avatarcap_tpu.pipeline.capture import AvatarCapture
+from avatarcap_tpu.render.camera import gl_perspective_projection_matrix
 
 
 class StreamingCapture:
-    """Batched/sharded avatar-geometry streaming.
+    """Batched + frame-sharded capture over ``AvatarCapture.frame_body``.
 
     Args:
-      avatar, avatar_vars, statics, grid: as in AvatarCapture.
-      mesh: device mesh with a 'data' axis; batch = mesh size per step.
+      capture: a fully-constructed AvatarCapture (its options decide the
+        fused-query/hierarchical/skinning behavior, exactly as for
+        single-frame production).
+      mesh: device mesh with a 'data' axis; frames shard over it.
+      camera: intrinsics dict (fx, fy, cx, cy) shared by the stream
+        (video intrinsics are fixed); required when w_recon.
+      image_size: (H, W) of the inferred normal images when w_recon.
+      frames_per_device: per-step batch is frames_per_device * n_devices.
+      w_recon / w_nerf: which pipeline tail to run (reference -r/-t
+        flags, main.py:291-294).
+      neck_vertex_idx: neck seam vertex for the fusion merge.
     """
 
-    def __init__(self, avatar: GeoTexAvatar, avatar_vars,
-                 statics: AvatarStatics, grid: CaptureGrid, mesh: Mesh,
-                 iso_value: float = 0.0, max_tris: int = 1 << 18,
-                 max_active: int = 1 << 16):
-        self.avatar = avatar
-        self.statics = statics
-        self.grid = grid
+    def __init__(self, capture: AvatarCapture, mesh: Mesh,
+                 camera: Optional[dict] = None,
+                 image_size=(512, 512),
+                 frames_per_device: int = 1,
+                 w_recon: bool = False, w_nerf: bool = False,
+                 neck_vertex_idx: int = 0):
+        self.capture = capture
         self.mesh = mesh
-        self.batch = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.w_recon = w_recon
+        self.w_nerf = w_nerf
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.batch = frames_per_device * n_dev
 
         repl = NamedSharding(mesh, P())
         shard0 = NamedSharding(mesh, P("data"))
-        self.avatar_vars = jax.device_put(avatar_vars, repl)
-        self._statics = jax.device_put(statics, repl)
-        self._grid = jax.device_put(grid, repl)
         self._shard0 = shard0
+        self._state = jax.device_put(capture.state, repl)
+        self._avatar_vars = jax.device_put(capture.avatar_vars, repl)
+        self._recon_vars = (jax.device_put(capture.recon_vars, repl)
+                            if capture.recon_vars is not None else None)
+        self._tex_vars = jax.device_put(capture.avatar_tex_vars, repl)
 
-        vol_res = grid.vol_res  # static; the grid ARRAYS are threaded as
-        # jit arguments — baking them in as program constants overflows
-        # the remote-compile payload at capture sizes (see
-        # capture.frame_fused)
+        if w_recon:
+            assert camera is not None, "w_recon streaming needs intrinsics"
+            fx, fy, cx, cy = (camera["fx"], camera["fy"], camera["cx"],
+                              camera["cy"])
+            img_h, img_w = image_size
+            proj = jnp.asarray(gl_perspective_projection_matrix(
+                fx, fy, cx, cy, img_w, img_h, gl_space=False))
+            neck_xy = capture._neck_xy(neck_vertex_idx)
+        else:
+            fx = fy = cx = cy = 1.0
+            img_h, img_w = 1, 1
+            proj = jnp.eye(4)
+            neck_xy = jnp.zeros((2,), jnp.int32)
+        self._img_hw = (img_h, img_w)
 
-        def one_frame(avatar_vars, statics, grid_arrays, pos_map):
-            g = CaptureGrid(*grid_arrays, vol_res=vol_res)
-            feat, _ = compute_pose_features(avatar, avatar_vars,
-                                            pos_map[None])
-            out, _ = query_occupancy(avatar, avatar_vars,
-                                     g.valid_pts[None], feat, statics)
-            vol = g.prior_volume.at[g.valid_idx].set(
-                out["cano_pts_ov"][0, :, 0], mode="drop")
-            return _extract_mesh(vol, g, statics.cano_bounds, iso_value,
-                                 max_tris, max_active,
-                                 normal_mode="trilinear")
+        frame_body = capture.frame_body
 
-        @functools.partial(jax.jit,
-                           in_shardings=(repl, repl, repl, shard0, shard0),
-                           out_shardings=shard0)
-        def geometry_batch(avatar_vars, statics, grid_arrays, pos_maps,
-                           cano2live):
-            def per_frame(pos_map, c2l):
-                m = one_frame(avatar_vars, statics, grid_arrays, pos_map)
-                lbs = approx_lbs_weights(m.vertices,
-                                         statics.cano_smpl_vertices,
-                                         statics.smpl_skinning_weights,
-                                         chunk=min(65536,
-                                                   m.vertices.shape[0]))
-                live_v, pt_mats = skin_points(m.vertices, lbs, c2l,
-                                              return_pt_mats=True)
-                # normals rotate with the per-point skinning rotation, as in
-                # capture.py / reference utils/smpl_util.py:69-81
-                live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
-                                    m.normals, precision="highest")
-                return m, CaptureMesh(live_v, live_n, m.num_tris, m.valid,
-                                      m.overflow)
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, repl, repl, repl,
+                          shard0, shard0, shard0, shard0, shard0),
+            out_shardings=shard0)
+        def frames_batch(st, avatar_vars, recon_vars, tex_vars,
+                         pos_maps, live_smpl_v, jnt_mats,
+                         inferred_normals, w2cs):
+            def per_frame(pos_map, lsv, jm, inorm, w2c):
+                frame = FrameInputs(live_smpl_v=lsv[None],
+                                    cano2live_jnt_mats=jm[None],
+                                    smpl_pos_map=pos_map[None])
+                return frame_body(st, avatar_vars, recon_vars, tex_vars,
+                                  frame, jm, inorm, w2c, proj,
+                                  fx, fy, cx, cy, neck_xy,
+                                  w_recon=w_recon, w_nerf=w_nerf)
 
-            return jax.vmap(per_frame)(pos_maps, cano2live)
+            return jax.vmap(per_frame)(pos_maps, live_smpl_v, jnt_mats,
+                                       inferred_normals, w2cs)
 
-        self._geometry_batch = geometry_batch
+        self._frames_batch = frames_batch
 
-    def run(self, items: Iterable[dict]) -> List[dict]:
-        """Process dataset items in mesh-sized batches; returns one dict per
-        frame with cano/live CaptureMesh results (device arrays)."""
+    def run(self, items: Iterable[dict],
+            inferred_normals=None) -> List[dict]:
+        """Process dataset items in batches; one result dict per frame.
+
+        Items need smpl_pos_map + cano2live_jnt_mats (+ live_smpl_v,
+        w2c_RT when present); ``inferred_normals`` is an optional
+        per-frame list/array of (H, W, 3) normal images (required when
+        w_recon).
+        """
         items = list(items)
-        results = []
+        if inferred_normals is not None:
+            inferred_normals = list(inferred_normals)
+            assert len(inferred_normals) == len(items)
+        results: List[dict] = []
         B = self.batch
+        img_h, img_w = self._img_hw
+        cano_v = np.asarray(self.capture.statics.cano_smpl_vertices)
         for start in range(0, len(items), B):
             chunk = items[start:start + B]
+            norms = (inferred_normals[start:start + B]
+                     if inferred_normals is not None
+                     else [np.zeros((img_h, img_w, 3), np.float32)
+                           for _ in chunk])
             pad = B - len(chunk)
             chunk = chunk + [chunk[-1]] * pad
-            pos_maps = jnp.asarray(np.stack(
-                [it["smpl_pos_map"] for it in chunk]))
-            c2l = jnp.asarray(np.stack(
-                [it["cano2live_jnt_mats"] for it in chunk]))
-            pos_maps = jax.device_put(pos_maps, self._shard0)
-            c2l = jax.device_put(c2l, self._shard0)
-            grid_arrays = (self._grid.valid_pts, self._grid.valid_idx,
-                           self._grid.prior_volume)
-            cano, live = self._geometry_batch(
-                self.avatar_vars, self._statics, grid_arrays, pos_maps,
-                c2l)
-            n = len(chunk) - pad
-            for i in range(n):
-                results.append({
-                    "cano_mesh": jax.tree.map(lambda x: x[i], cano),
-                    "live_mesh": jax.tree.map(lambda x: x[i], live),
-                })
+            norms = norms + [norms[-1]] * pad
+            pos_maps = np.stack([it["smpl_pos_map"] for it in chunk])
+            c2l = np.stack([it["cano2live_jnt_mats"] for it in chunk])
+            lsv = np.stack([it.get("live_smpl_v", cano_v)
+                            for it in chunk])
+            w2cs = np.stack([it.get("w2c_RT", np.eye(4, dtype=np.float32))
+                             for it in chunk])
+            args = [jax.device_put(jnp.asarray(a), self._shard0)
+                    for a in (pos_maps, lsv, c2l, np.stack(norms), w2cs)]
+            out = self._frames_batch(self._state, self._avatar_vars,
+                                     self._recon_vars, self._tex_vars,
+                                     *args)
+            for i in range(len(chunk) - pad):
+                results.append(jax.tree.map(lambda x: x[i], out))
         return results

@@ -166,8 +166,8 @@ def bench_config3(env):
           (res ** 3) / dt / 1e6)  # Mpts/s as the comparison figure
 
 
-def bench_config45(env):
-    """Full frame (config #4) + single-chip streaming fps (config #5)."""
+def bench_config4(env):
+    """Full frame (config #4): sequential fused single-frame seconds."""
     from avatarcap_tpu.utils.timers import sync
 
     cap, item = env["capture"], env["item"]
@@ -182,9 +182,55 @@ def bench_config45(env):
     for _ in range(frames):
         res = cap.process_frame(item, **kw)
     sync(res)
+    return (time.time() - t0) / frames
+
+
+def bench_w_nerf(env):
+    """Complete per-frame output set (w_recon + w_nerf texture) as ONE
+    fused program (VERDICT r2 item 5; reference main.py:460-489)."""
+    from avatarcap_tpu.utils.timers import sync
+
+    cap, item = env["capture"], env["item"]
+    kw = dict(w_recon=True, w_nerf=True,
+              inferred_normal=env["inferred_normal"], neck_vertex_idx=0,
+              camera=env["cam"])
+    res = cap.process_frame(item, **kw)
+    sync(res)
+    frames = 3
+    t0 = time.time()
+    for _ in range(frames):
+        res = cap.process_frame(item, **kw)
+    sync(res)
     dt = (time.time() - t0) / frames
+    _emit("full_frame_w_nerf_seconds", dt, "s", 1.0 / dt)
+
+
+def bench_config5(env):
+    """Streaming capture (config #5): the FULL per-frame pipeline vmapped
+    over a frame batch (pipeline/streaming.py) on one chip; the v5e-4
+    scaling axis is exercised by dryrun_multichip on the virtual mesh."""
+    import jax
+    from avatarcap_tpu.utils.timers import sync
+    from avatarcap_tpu.parallel.mesh import make_mesh
+    from avatarcap_tpu.pipeline.streaming import StreamingCapture
+
+    cap, item = env["capture"], env["item"]
+    fpd = int(os.environ.get("BENCH_STREAM_BATCH", "2"))
+    mesh = make_mesh(jax.devices()[:1])
+    stream = StreamingCapture(cap, mesh, camera=env["cam"],
+                              image_size=(512, 512), w_recon=True,
+                              frames_per_device=fpd)
+    items = [dict(item) for _ in range(stream.batch)]
+    norms = [env["inferred_normal"]] * stream.batch
+    res = stream.run(items, inferred_normals=norms)   # compile
+    sync(res[-1])
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        res = stream.run(items, inferred_normals=norms)
+    sync(res[-1])
+    dt = (time.time() - t0) / (reps * stream.batch)
     _emit("streaming_capture_fps_1chip", 1.0 / dt, "frames/s", 1.0 / dt)
-    return dt
 
 
 def main():
@@ -197,7 +243,9 @@ def main():
     from avatarcap_tpu.tools.bench_workloads import build_capture_env
     env = build_capture_env()
     bench_config3(env)
-    dt = bench_config45(env)
+    dt = bench_config4(env)
+    bench_w_nerf(env)
+    bench_config5(env)
     # headline LAST: full-frame seconds vs the <1 s north star
     _emit("avatarcap_full_frame_seconds", dt, "s", 1.0 / dt)
 
