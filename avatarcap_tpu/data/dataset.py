@@ -319,17 +319,60 @@ class AvatarCapDataset:
         return item
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 31359, drop_last: bool = True):
-        """Simple epoch iterator yielding stacked numpy batches
-        (torch DataLoader equivalent, reference :349-359)."""
+                seed: int = 31359, drop_last: bool = True,
+                num_workers: int = 0, prefetch_batches: int = 2):
+        """Epoch iterator yielding stacked numpy batches (torch DataLoader
+        equivalent, reference :349-359).
+
+        num_workers > 0 decodes items on a thread pool and keeps
+        ``prefetch_batches`` batches in flight, overlapping imread/ray
+        sampling with the device step like the reference's worker loader
+        (reference dataset/avatarcap_dataset.py:349-359). Each item then
+        draws from its own position-seeded RandomState so the sample
+        stream is deterministic regardless of thread timing (the serial
+        num_workers=0 path keeps the legacy shared-rng stream).
+        """
         rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
         n = len(order) // batch_size if drop_last else \
             -(-len(order) // batch_size)
-        for b in range(n):
-            idxs = order[b * batch_size:(b + 1) * batch_size]
-            items = [self.__getitem__(int(i), rng) for i in idxs]
-            yield {k: np.stack([it[k] for it in items])
-                   for k in items[0]}
+
+        if num_workers <= 0:
+            for b in range(n):
+                idxs = order[b * batch_size:(b + 1) * batch_size]
+                items = [self.__getitem__(int(i), rng) for i in idxs]
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def item_rng(pos: int) -> np.random.RandomState:
+            return np.random.RandomState(
+                (seed + 1000003 * (pos + 1)) % (2 ** 31 - 1))
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            pending = deque()
+
+            def submit(b: int) -> None:
+                idxs = order[b * batch_size:(b + 1) * batch_size]
+                pending.append([
+                    ex.submit(self.__getitem__, int(i),
+                              item_rng(b * batch_size + j))
+                    for j, i in enumerate(idxs)])
+
+            nxt = 0
+            for _ in range(min(prefetch_batches + 1, n)):
+                submit(nxt)
+                nxt += 1
+            while pending:
+                futs = pending.popleft()
+                items = [f.result() for f in futs]
+                if nxt < n:
+                    submit(nxt)
+                    nxt += 1
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}

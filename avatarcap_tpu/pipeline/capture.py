@@ -148,7 +148,7 @@ def _upsample2(c: jnp.ndarray, fine_res) -> jnp.ndarray:
 
 def hierarchical_volume(value_fn, grid: CaptureGrid, cano_bounds,
                         c_prior, prior, iso, alpha: float,
-                        refine_capacity: int):
+                        refine_capacity: int, with_stats: bool = False):
     """Coarse-to-fine occupancy volume (see CaptureOptions).
 
     Evaluate the implicit field on the 2x-coarse lattice first, refine
@@ -224,6 +224,8 @@ def hierarchical_volume(value_fn, grid: CaptureGrid, cano_bounds,
     vol = vol.at[jnp.where(live, ridx, X * Y * Z)].set(
         r_occ, mode="drop")
     vol = jnp.where(g.valid_mask, vol, prior)
+    if with_stats:
+        return vol, q_overflow, n_r
     return vol, q_overflow
 
 
@@ -281,11 +283,12 @@ class CaptureOptions:
     # brute-force path remains via hierarchical_query=False).
     hierarchical_query: bool = True
     hier_alpha: float = 1.0
-    # ~900k fine nodes refine on a body at 384x384x128 (saturation-
-    # clamped activation); the refine kernel runs at this static
-    # capacity, so oversizing costs real ms. Overflow is reported on the
-    # mesh.
-    refine_capacity: int = (1 << 20) + (1 << 19)
+    # ~900k fine nodes refine on a smooth body at 384x384x128, ~1.8M on
+    # the wrinkled clothing-complexity body (saturation-clamped
+    # activation); the refine kernel runs at this static capacity, so
+    # oversizing costs real ms (~5 ms / 256k at 57 Mpts/s). Overflow is
+    # reported on the mesh.
+    refine_capacity: int = 1 << 21
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,

@@ -13,6 +13,7 @@ Shared by tools/profile_frame.py (per-stage breakdown) and bench.py
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -105,8 +106,22 @@ def build_capture_grid(statics, cano_v: np.ndarray,
     return grid, n_valid
 
 
+def wrinkle_field(q, wavelength: float = 0.045):
+    """Unit-amplitude clothing-fold displacement: three non-axis-aligned
+    plane-wave products — bumpy in every direction, no alignment with the
+    grid axes (q = points relative to the body center, meters)."""
+    import jax.numpy as jnp
+    k = 2.0 * jnp.pi / wavelength
+    return (jnp.sin(k * (q[:, 0] + 0.37 * q[:, 1]))
+            * jnp.sin(k * (q[:, 1] - 0.21 * q[:, 2]))
+            + 0.6 * jnp.sin(k * 1.31 * (q[:, 2] + 0.55 * q[:, 0]))
+            * jnp.sin(k * 0.77 * q[:, 1]))
+
+
 def fit_template_to_body(module, avatar_vars, statics, steps: int = 600,
-                         n_pts: int = 32768, lr: float = 1e-3):
+                         n_pts: int = 32768, lr: float = 1e-3,
+                         wrinkle_amp: float = 0.0,
+                         wrinkle_wavelength: float = 0.045):
     """Fit the template geo MLP to the toy body's approximate SDF.
 
     A freshly-initialized DoubleTNet outputs ~0 everywhere — exactly the
@@ -118,6 +133,15 @@ def fit_template_to_body(module, avatar_vars, statics, steps: int = 600,
     nearest-vertex distance (inside-positive, clipped to +-5 cm like the
     trainer's sdf band) give the benchmark mesh trained-avatar statistics
     in a few seconds, with the exact same per-point query compute.
+
+    wrinkle_amp > 0 displaces the target surface by a multi-directional
+    sinusoidal field (amplitude in meters, wavelength ~4.5 cm): clothing-
+    fold-scale geometry that multiplies surface area, active-cube,
+    triangle and refine-node counts like a clothed human does (VERDICT r2
+    weak #1 — a smooth capsule body understates the MC/raster/skinning
+    load of real capture). The wrinkles ride the same network query path
+    (PE L=10 resolves ~4 mm), so the benchmark still measures the
+    production program, just on a clothing-complexity isosurface.
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +158,14 @@ def fit_template_to_body(module, avatar_vars, statics, steps: int = 600,
         inside = (jnp.linalg.norm(pts - center, axis=-1)
                   < jnp.linalg.norm(verts[idx[:, 0]] - center, axis=-1))
         d = jnp.sqrt(jnp.maximum(d2[:, 0], 0.0))
-        return jnp.clip(jnp.where(inside, d, -d), -0.05, 0.05)
+        sd = jnp.where(inside, d, -d)
+        if wrinkle_amp > 0.0:
+            # displace the surface: shifting the iso level by a smooth
+            # field moves the zero crossing by ~w/|grad| = w (unit-grad
+            # sdf), i.e. a true geometric displacement of the skin
+            sd = sd + wrinkle_amp * wrinkle_field(pts - center,
+                                                  wrinkle_wavelength)
+        return jnp.clip(sd, -0.05, 0.05)
 
     tpl = avatar_vars["params"]["cano_template"]
     frozen = {k: v for k, v in avatar_vars["params"].items()
@@ -171,7 +202,9 @@ def fit_template_to_body(module, avatar_vars, statics, steps: int = 600,
 
 
 def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
-                      steps: int = 200, batch: int = 65536, lr: float = 1e-3):
+                      steps: int = 200, batch: int = 65536, lr: float = 1e-3,
+                      wrinkle_amp: float = 0.0,
+                      wrinkle_wavelength: float = 0.045):
     """Fit ReconNet's pixel-aligned decoder to the toy body occupancy.
 
     Same rationale as fit_template_to_body: a random-init decoder puts
@@ -206,6 +239,14 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
                   < jnp.linalg.norm(
                       statics.cano_smpl_vertices[idx[:, 0]]
                       - statics.cano_smpl_center, axis=-1))
+        if wrinkle_amp > 0.0:
+            # same wrinkled surface as the avatar template: the recon
+            # mesh must carry clothing-fold complexity too
+            d = jnp.sqrt(jnp.maximum(d2[:, 0], 0.0))
+            sd = jnp.where(inside, d, -d)
+            sd = sd + wrinkle_amp * wrinkle_field(
+                pts - statics.cano_smpl_center, wrinkle_wavelength)
+            return (sd > 0.0).astype(jnp.float32)
         return inside.astype(jnp.float32)
 
     dec = recon_vars["params"]["image_decoder"]
@@ -246,8 +287,13 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                       fusion_iters=100, max_tris=(1 << 19) + (1 << 18),
                       max_active=(1 << 18) + (1 << 17), pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
-                      fit_template: bool = True):
+                      fit_template: bool = True,
+                      wrinkle_amp: float = 0.006):
     """Full-size AvatarCapture + one frame item (BASELINE config #4).
+
+    The default body carries 6 mm / ~4.5 cm clothing-fold wrinkles
+    (see fit_template_to_body) so mesh statistics match a clothed human
+    rather than a smooth capsule; pass wrinkle_amp=0 for the smooth body.
 
     Returns dict(capture, item, cam, inferred_normal, n_valid, params,
     statics).
@@ -266,8 +312,6 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     avatar_vars = jax.jit(module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)), pos_map,
         statics.cano_smpl_center[None])
-    if fit_template:
-        avatar_vars, _ = fit_template_to_body(module, avatar_vars, statics)
     recon = ReconNetwork()
     recon_vars = jax.jit(recon.init)(
         jax.random.PRNGKey(1), jnp.zeros((1, render_res, render_res, 6)),
@@ -275,8 +319,31 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     inferred_normal = np.zeros((512, 512, 3), np.float32)
     inferred_normal[128:384, 128:384] = [0.0, 0.0, -1.0]
     if fit_template:
-        recon_vars, _ = fit_recon_decoder(recon, recon_vars, statics, grid,
-                                          inferred_normal)
+        # the fits are deterministic in (body, wrinkle_amp); cache the
+        # fitted weights so repeated bench/profile runs skip ~5 min of
+        # one-time Adam
+        import pickle
+        cache = (f"/tmp/avatarcap_bench_fit_w{wrinkle_amp:.4f}"
+                 f"_d{int(dense)}_v1.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                cached = pickle.load(f)
+            avatar_vars = jax.tree.map(jnp.asarray, cached["avatar"])
+            recon_vars = jax.tree.map(jnp.asarray, cached["recon"])
+        else:
+            steps = 1500 if wrinkle_amp > 0 else 600
+            avatar_vars, _ = fit_template_to_body(
+                module, avatar_vars, statics, steps=steps,
+                wrinkle_amp=wrinkle_amp)
+            recon_vars, _ = fit_recon_decoder(
+                recon, recon_vars, statics, grid, inferred_normal,
+                steps=400 if wrinkle_amp > 0 else 200,
+                wrinkle_amp=wrinkle_amp)
+            with open(cache, "wb") as f:
+                pickle.dump({"avatar": jax.tree.map(np.asarray,
+                                                    avatar_vars),
+                             "recon": jax.tree.map(np.asarray, recon_vars)},
+                            f)
 
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
                           render_res=render_res, fusion_iters=fusion_iters)

@@ -89,9 +89,16 @@ def finetune_texture_template(cfg, module: GeoTexAvatar,
                               statics: AvatarStatics, dataset,
                               state: TrainState,
                               end_epoch: int = 1000,
-                              log_fn=print) -> TrainState:
+                              log_fn=print, batch_size: int = 4,
+                              num_workers: int = 3) -> TrainState:
     """Host loop (reference main.py:162-272): 1000 epochs over one scan's
-    views; Adam 5e-4 on cano_template only; checkpoints every 20 epochs."""
+    views; Adam 5e-4 on cano_template only; checkpoints every 20 epochs.
+
+    Views are stacked into batches of ``batch_size`` (the reference steps
+    one view at a time — 60k dispatches over the schedule; batching gives
+    4x fewer dispatches and a full-width device step) and decoded on a
+    small thread pool, with metric readback delayed one step so the host
+    never stalls the device (VERDICT r2 items 4/8)."""
     # only-train-template mask (reference main.py:179-185)
     def label_fn(params):
         return jax.tree.map_with_path(
@@ -118,22 +125,47 @@ def finetune_texture_template(cfg, module: GeoTexAvatar,
     os.makedirs(out_dir, exist_ok=True)
     rng = jax.random.PRNGKey(314)
     nprng = np.random.RandomState(314)
+    batch_size = max(1, min(batch_size, len(indices)))
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def build_batch(idxs, seed0):
+        futs = [pool.submit(dataset.__getitem__, int(ix),
+                            np.random.RandomState(seed0 + 7919 * j))
+                for j, ix in enumerate(idxs)]
+        items = [f.result() for f in futs]
+        return {k: jnp.asarray(np.stack([it[k] for it in items]))
+                for k, v in items[0].items() if isinstance(v, np.ndarray)}
+
+    def log_metrics(epoch_idx, batch_idx, metrics):
+        # delayed one step by the caller: float() syncs the PREVIOUS
+        # step while the current one runs
+        with open(os.path.join(out_dir, "loss.jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": epoch_idx, "batch": batch_idx,
+                                **{k: float(v)
+                                   for k, v in metrics.items()}}) + "\n")
+
+    prev = None
     for epoch_idx in range(end_epoch):
         t0 = time.time()
         nprng.shuffle(indices)
-        for batch_idx, index in enumerate(indices):
-            item = dataset.__getitem__(int(index), nprng)
-            batch = {k: jnp.asarray(np.stack([v])) for k, v in item.items()
-                     if isinstance(v, np.ndarray)}
+        n_batches = max(1, len(indices) // batch_size)
+        for batch_idx in range(n_batches):
+            idxs = indices[batch_idx * batch_size:
+                           (batch_idx + 1) * batch_size]
+            batch = build_batch(idxs, 314 + epoch_idx * 100003
+                                + batch_idx * 131)
             rng, r = jax.random.split(rng)
             ft_state, metrics = step_fn(ft_state, init_variables, batch, r)
-            with open(os.path.join(out_dir, "loss.jsonl"), "a") as f:
-                f.write(json.dumps({"epoch": epoch_idx, "batch": batch_idx,
-                                    **{k: float(v)
-                                       for k, v in metrics.items()}}) + "\n")
+            if prev is not None:
+                log_metrics(*prev)
+            prev = (epoch_idx, batch_idx, metrics)
         log_fn(f"finetune epoch {epoch_idx} took {time.time() - t0:.1f} s")
         if epoch_idx % 20 == 0 and epoch_idx > 0:
             ckpt.save_train_state(
                 os.path.join(out_dir, f"epoch_{epoch_idx}"), ft_state)
+    if prev is not None:
+        log_metrics(*prev)
+    pool.shutdown()
     ckpt.save_train_state(os.path.join(out_dir, "epoch_latest"), ft_state)
     return ft_state

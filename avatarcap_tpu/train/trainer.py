@@ -226,7 +226,7 @@ class AvatarTrainer:
     def fit(self, dataset, start_epoch: int, end_epoch: int,
             batch_size: int, state: TrainState,
             ckpt_interval: int = 10, seed: int = 31359,
-            log_fn=print) -> TrainState:
+            log_fn=print, num_workers: int = 3) -> TrainState:
         from avatarcap_tpu.utils.tb_logging import ScalarLogger
         os.makedirs(self.net_ckpt_dir, exist_ok=True)
         # JSONL + TensorBoard scalars per batch and epoch means per epoch
@@ -234,27 +234,43 @@ class AvatarTrainer:
         logger = ScalarLogger(self.net_ckpt_dir, self.log_name)
         batch_num = max(1, len(dataset) // batch_size)
         rng = jax.random.PRNGKey(seed)
+        lr0, lr1 = 0.0, 0.0
+
+        def log_metrics(epoch_idx, batch_idx, metrics):
+            # float() forces the device sync; by logging step k-1 after
+            # dispatching step k, the host decodes/uploads the next batch
+            # while the device still runs — no per-step stall (the
+            # tunneled runtime pays ~36 ms per readback).
+            m = {k: float(v) for k, v in metrics.items()}
+            for k, v in m.items():
+                epoch_losses[k] = epoch_losses.get(k, 0.0) + v
+            log_fn(f"epoch {epoch_idx}, batch {batch_idx}, "
+                   f"lr: {lr0:.2e}, {lr1:.2e}, "
+                   + ", ".join(f"{k}: {v:.6f}" for k, v in m.items()))
+            logger.log(m, step=epoch_idx * batch_num + batch_idx,
+                       extra={"epoch": epoch_idx, "batch": batch_idx})
+
         for epoch_idx in range(start_epoch, end_epoch):
             lrs = jnp.asarray(self.epoch_lrs(epoch_idx, batch_num))
+            lr0, lr1 = float(lrs[0]), float(lrs[1])
             t_epoch = time.time()
             epoch_losses: Dict[str, float] = {}
+            prev = None
             for batch_idx, batch in enumerate(
                     dataset.batches(batch_size, shuffle=True,
-                                    seed=seed + epoch_idx)):
+                                    seed=seed + epoch_idx,
+                                    num_workers=num_workers)):
                 rng, step_rng = jax.random.split(rng)
                 dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                              if isinstance(v, np.ndarray)
                              and v.dtype != np.object_}
                 state, metrics = self.train_step(state, dev_batch, lrs,
                                                  step_rng)
-                m = {k: float(v) for k, v in metrics.items()}
-                for k, v in m.items():
-                    epoch_losses[k] = epoch_losses.get(k, 0.0) + v
-                log_fn(f"epoch {epoch_idx}, batch {batch_idx}, "
-                       f"lr: {float(lrs[0]):.2e}, {float(lrs[1]):.2e}, "
-                       + ", ".join(f"{k}: {v:.6f}" for k, v in m.items()))
-                logger.log(m, step=epoch_idx * batch_num + batch_idx,
-                           extra={"epoch": epoch_idx, "batch": batch_idx})
+                if prev is not None:
+                    log_metrics(epoch_idx, batch_idx - 1, prev)
+                prev = metrics
+            if prev is not None:
+                log_metrics(epoch_idx, batch_num - 1, prev)
             logger.log({f"epoch/{k}": v / batch_num
                         for k, v in epoch_losses.items()}, step=epoch_idx,
                        extra={"epoch": epoch_idx, "batch": -1})

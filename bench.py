@@ -112,6 +112,82 @@ def bench_config2():
     _emit("avatar_train_steps_per_s_batch4", 1.0 / dt, "steps/s", 1.0 / dt)
 
 
+def bench_config2_e2e():
+    """Config #2 INCLUDING the host data pipeline (VERDICT r2 item 4):
+    a real on-disk synthetic subject at the reference per-item sizes
+    (512^2 jpg decode + pos-map load + 1024-ray sampling + device FK per
+    item), streamed through the prefetching loader (num_workers=3)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from avatarcap_tpu.utils.timers import sync
+    from avatarcap_tpu.utils.toy_body import make_toy_smpl_params
+    from avatarcap_tpu.body.smpl import canonical_pose
+    from avatarcap_tpu.data.dataset import AvatarCapDataset
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.pipeline.avatar import AvatarStatics
+    from avatarcap_tpu.train.trainer import AvatarTrainer
+
+    out = "/tmp/avatarcap_bench_subject_v1"
+    params = make_toy_smpl_params(n_lat=77, n_lon=90)
+    if not os.path.exists(os.path.join(out, "dataConfig.yaml")):
+        from avatarcap_tpu.tools.gen_synthetic import generate_subject
+        rng = np.random.RandomState(0)
+        poses = []
+        for _ in range(3):
+            p = canonical_pose().copy()
+            p[6:] += rng.uniform(-0.2, 0.2, p.size - 6).astype(np.float32)
+            poses.append(p)
+        generate_subject(out, params, np.zeros(10, np.float32),
+                         np.stack(poses), n_views=8, img_size=512,
+                         pos_map_res=256, sur_pts_count=20000,
+                         vol_pts_count=2000)
+
+    ds = AvatarCapDataset(out, training=True, smpl_params=params)
+    wv = np.load(f"{out}/cano_base_blend_weight_volume.npy")
+    statics = AvatarStatics(
+        weight_volume=jnp.asarray(wv),
+        cano_smpl_vertices=jnp.asarray(ds.cano_smpl_v),
+        smpl_skinning_weights=jnp.asarray(params.weights),
+        cano_bounds=jnp.asarray(ds.cano_bounds),
+        cano_smpl_center=jnp.asarray(ds.cano_smpl_center))
+    module = GeoTexAvatar(if_type="sdf")
+    item0 = ds[0]
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+        jnp.asarray(item0["smpl_pos_map"])[None],
+        statics.cano_smpl_center[None])
+    trainer = AvatarTrainer(module=module, statics=statics,
+                            net_ckpt_dir="/tmp/bench_e2e_ckpt",
+                            n_samples=64)
+    state = trainer.init_state(variables)
+    lrs = jnp.asarray([1e-3, 1e-4])
+    rng = jax.random.PRNGKey(0)
+
+    def run_epoch(state, rng, seed):
+        metrics, n = None, 0
+        for batch in ds.batches(4, shuffle=True, seed=seed,
+                                num_workers=3):
+            rng, r = jax.random.split(rng)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()
+                   if isinstance(v, np.ndarray) and v.dtype != np.object_}
+            state, metrics = trainer.train_step(state, dev, lrs, r)
+            n += 1
+        return state, rng, metrics, n
+
+    state, rng, metrics, _ = run_epoch(state, rng, 0)   # compile + warm
+    sync(metrics)
+    t0 = time.time()
+    total = 0
+    for e in range(2):
+        state, rng, metrics, n = run_epoch(state, rng, e + 1)
+        total += n
+    sync(metrics)
+    dt = (time.time() - t0) / total
+    _emit("avatar_train_steps_per_s_batch4_with_data", 1.0 / dt,
+          "steps/s", 1.0 / dt)
+
+
 def bench_config3(env):
     """ReconNet: HGFilter 512^2 + pixel-aligned decode over 256^3 pts."""
     import jax
@@ -239,6 +315,7 @@ def main():
 
     bench_config1()
     bench_config2()
+    bench_config2_e2e()
 
     from avatarcap_tpu.tools.bench_workloads import build_capture_env
     env = build_capture_env()

@@ -71,3 +71,68 @@ def test_finetune_step_freezes_non_template(tmp_path):
     before = jax.tree.leaves(variables["params"]["cano_template"])[0]
     after = jax.tree.leaves(state.params["cano_template"])[0]
     assert float(jnp.abs(after - before).max()) > 0
+
+
+@pytest.mark.slow
+def test_finetune_host_loop_batched(tmp_path):
+    """Batched finetuner (VERDICT r2 item 8): 2 epochs over a synthetic
+    subject's views in batches — loss finite and non-increasing overall,
+    template-only movement, and one step per BATCH (not per view)."""
+    import json
+    import types
+    from avatarcap_tpu.tools.gen_synthetic import generate_subject
+    from avatarcap_tpu.body.smpl import canonical_pose
+    from avatarcap_tpu.data.dataset import AvatarCapDataset
+    from avatarcap_tpu.models.avatar import GeoTexAvatar
+    from avatarcap_tpu.pipeline.avatar import AvatarStatics
+    from avatarcap_tpu.train.finetune import finetune_texture_template
+    from avatarcap_tpu.train.trainer import TrainState
+    import optax
+
+    out = str(tmp_path / "subject")
+    params = make_toy_smpl_params()
+    rng = np.random.RandomState(0)
+    p = canonical_pose().copy()
+    p[6:] += rng.uniform(-0.1, 0.1, p.size - 6).astype(np.float32)
+    generate_subject(out, params, np.zeros(10, np.float32), p[None],
+                     n_views=4, img_size=64, pos_map_res=64,
+                     sur_pts_count=2000, vol_pts_count=300)
+    ds = AvatarCapDataset(out, training=True, smpl_params=params)
+    wv = np.load(f"{out}/cano_base_blend_weight_volume.npy")
+    statics = AvatarStatics(
+        weight_volume=jnp.asarray(wv),
+        cano_smpl_vertices=jnp.asarray(ds.cano_smpl_v),
+        smpl_skinning_weights=jnp.asarray(params.weights),
+        cano_bounds=jnp.asarray(ds.cano_bounds),
+        cano_smpl_center=jnp.asarray(ds.cano_smpl_center))
+    module = GeoTexAvatar(if_type="sdf")
+    item0 = ds[0]
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+        jnp.asarray(item0["smpl_pos_map"])[None],
+        statics.cano_smpl_center[None])
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       None, jnp.zeros((), jnp.int32))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = types.SimpleNamespace(
+        n_samples=4,
+        training=types.SimpleNamespace(finetune_tex_data_idx=0,
+                                       net_ckpt_dir=ckpt_dir))
+    ft = finetune_texture_template(cfg, module, statics, ds, state,
+                                   end_epoch=3, log_fn=lambda *_: None,
+                                   batch_size=2, num_workers=2)
+
+    recs = [json.loads(l) for l in
+            (tmp_path / "ckpt" / "finetune_tex" / "loss.jsonl")
+            .read_text().splitlines()]
+    # 4 views / batch 2 = 2 steps per epoch, 3 epochs
+    assert len(recs) == 6
+    assert all(np.isfinite(r["total_loss"]) for r in recs)
+    # warping field frozen; template moved
+    for a, b in zip(jax.tree.leaves(ft.params["warping_field"]),
+                    jax.tree.leaves(variables["params"]["warping_field"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    before = jax.tree.leaves(variables["params"]["cano_template"])[0]
+    after = jax.tree.leaves(ft.params["cano_template"])[0]
+    assert float(jnp.abs(after - before).max()) > 0
