@@ -19,12 +19,25 @@ algorithm:
 4. choose the iso level as the mean of chi at the input samples
    (exactly the original paper's rule) and run device marching tets.
 
+The reference binary is the SCREENED variant (Kazhdan & Hoppe 2013,
+default point weight 4): the energy adds alpha * sum_p (chi(p) - iso)^2
+so the indicator interpolates the samples instead of merely aligning
+gradients — the difference shows up exactly on thin clothing folds,
+where the unscreened solve over-smooths. The screened operator
+A = -lap + sigma * P^T P (P = trilinear sampling at the points) is
+diagonal in NEITHER domain, so we run a fixed number of conjugate-
+gradient steps preconditioned by the FFT inverse Laplacian, warm-started
+from the closed-form unscreened solution (point_weight=0 recovers it
+exactly). Every CG iterate is FFTs + one gather + one scatter — all
+MXU/HBM-friendly, fully jitted, static iteration count.
+
 Differences vs the reference binary: dense grid instead of an adaptive
 octree (a 256^3 solve matches octree depth 8; 512^3 matches depth 9 and
-fits v5e HBM), no screening term, and periodic boundary conditions
-mitigated by bound padding. tests/test_poisson.py quantifies
-reconstruction error on noisy/holey scans against both the analytic
-surface and the TSDF substitute.
+fits v5e HBM) and periodic boundary conditions mitigated by bound
+padding. tests/test_poisson.py quantifies reconstruction error on
+noisy/holey scans against both the analytic surface and the TSDF
+substitute, and pins the screened-vs-unscreened gap on a wrinkled
+surface.
 """
 
 from __future__ import annotations
@@ -39,33 +52,66 @@ import numpy as np
 from avatarcap_tpu.ops.marching_cubes import marching_tets, Mesh
 
 
-@functools.partial(jax.jit, static_argnames=("res",))
-def _indicator_grid(points: jnp.ndarray, normals: jnp.ndarray,
-                    bmin: jnp.ndarray, bmax: jnp.ndarray,
-                    res: int, smooth_voxels: float) -> jnp.ndarray:
-    """Oriented point cloud -> indicator volume chi (res^3), iso at the
-    sample-mean level subtracted (surface crosses 0, inside-positive)."""
-    extent = bmax - bmin
-    # 1. trilinear normal splat, density-normalized
-    f = (points - bmin) / extent * (res - 1)
-    f = jnp.clip(f, 0.0, res - 1 - 1e-4)
-    i0 = jnp.floor(f).astype(jnp.int32)
-    t = f - i0
-    V = jnp.zeros((res, res, res, 3))
-    W = jnp.zeros((res, res, res, 1))
-    flatV = V.reshape(-1, 3)
-    flatW = W.reshape(-1, 1)
+def _corner_weights(t: jnp.ndarray):
+    """Eight (corner_offset, weight(N,)) trilinear pairs for fracs t."""
+    out = []
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 w = (jnp.where(dx, t[:, 0], 1 - t[:, 0])
                      * jnp.where(dy, t[:, 1], 1 - t[:, 1])
-                     * jnp.where(dz, t[:, 2], 1 - t[:, 2]))[:, None]
-                idx = ((i0[:, 0] + dx) * res + (i0[:, 1] + dy)) * res \
-                    + (i0[:, 2] + dz)
-                flatV = flatV.at[idx].add(normals * w)
-                flatW = flatW.at[idx].add(w)
-    V = flatV.reshape(res, res, res, 3)
+                     * jnp.where(dz, t[:, 2], 1 - t[:, 2]))
+                out.append(((dx, dy, dz), w))
+    return out
+
+
+def _splat(vals: jnp.ndarray, i0: jnp.ndarray, t: jnp.ndarray,
+           res: int) -> jnp.ndarray:
+    """P^T: scatter-add per-point values (N, C) into a (res^3, C) grid."""
+    flat = jnp.zeros((res * res * res, vals.shape[-1]), vals.dtype)
+    for (dx, dy, dz), w in _corner_weights(t):
+        idx = ((i0[:, 0] + dx) * res + (i0[:, 1] + dy)) * res \
+            + (i0[:, 2] + dz)
+        flat = flat.at[idx].add(vals * w[:, None])
+    return flat
+
+
+def _sample(grid_flat: jnp.ndarray, i0: jnp.ndarray, t: jnp.ndarray,
+            res: int) -> jnp.ndarray:
+    """P: trilinear gather of a flat (res^3,) grid at the points."""
+    base = (i0[:, 0] * res + i0[:, 1]) * res + i0[:, 2]
+    acc = 0.0
+    for (dx, dy, dz), w in _corner_weights(t):
+        acc = acc + grid_flat[base + (dx * res + dy) * res + dz] * w
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("res", "screen_iters",
+                                             "point_weight"))
+def _indicator_grid(points: jnp.ndarray, normals: jnp.ndarray,
+                    bmin: jnp.ndarray, bmax: jnp.ndarray,
+                    res: int, smooth_voxels: float,
+                    point_weight: float = 0.0,
+                    screen_iters: int = 10) -> jnp.ndarray:
+    """Oriented point cloud -> indicator volume chi (res^3), iso at the
+    sample-mean level subtracted (surface crosses 0 at the samples,
+    inside-negative as returned; caller flips).
+
+    point_weight=0: closed-form unscreened Kazhdan '06 spectral solve.
+    point_weight>0: screened (Kazhdan & Hoppe 2013) — `screen_iters`
+    preconditioned-CG steps on A = -lap + sigma P^T P, warm-started at
+    the unscreened solution. sigma normalizes point_weight by the mean
+    per-surface-voxel splat density so the strength is sampling- and
+    resolution-independent (the octree code's area weighting plays this
+    role).
+    """
+    extent = bmax - bmin
+    # 1. trilinear normal splat
+    f = (points - bmin) / extent * (res - 1)
+    f = jnp.clip(f, 0.0, res - 1 - 1e-4)
+    i0 = jnp.floor(f).astype(jnp.int32)
+    t = f - i0
+    V = _splat(normals, i0, t, res)
 
     # 2+3. Fourier domain: gaussian smoothing, divergence, inverse
     # laplacian — all against the same FFT of V
@@ -74,34 +120,85 @@ def _indicator_grid(points: jnp.ndarray, normals: jnp.ndarray,
     k2 = kx * kx + ky * ky + kz * kz
     gauss = jnp.exp(-0.5 * (smooth_voxels ** 2) * k2)
 
-    Vh = jnp.fft.fftn(V.astype(jnp.complex64), axes=(0, 1, 2))
+    Vh = jnp.fft.fftn(V.reshape(res, res, res, 3).astype(jnp.complex64),
+                      axes=(0, 1, 2))
     # div via spectral derivative; voxel size folds into iso selection
     divh = 1j * (kx * Vh[..., 0] + ky * Vh[..., 1] + kz * Vh[..., 2])
     chih = jnp.where(k2 > 1e-12, divh * gauss / (-k2), 0.0)
     chi = jnp.real(jnp.fft.ifftn(chih, axes=(0, 1, 2)))
 
-    # 4. iso level = mean chi at the samples (Kazhdan '06 eq. 9)
-    base = (i0[:, 0] * res + i0[:, 1]) * res + i0[:, 2]
     chi_flat = chi.reshape(-1)
-    acc = 0.0
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                w = (jnp.where(dx, t[:, 0], 1 - t[:, 0])
-                     * jnp.where(dy, t[:, 1], 1 - t[:, 1])
-                     * jnp.where(dz, t[:, 2], 1 - t[:, 2]))
-                idx = base + (dx * res + dy) * res + dz
-                acc = acc + chi_flat[idx] * w
-    iso = jnp.mean(acc)
+    iso = jnp.mean(_sample(chi_flat, i0, t, res))
+
+    if point_weight > 0.0:
+        # --- screened refinement -------------------------------------
+        # Work in y = chi - iso so the interpolation targets are 0 and
+        # the warm start is the unscreened solution itself.
+        # sigma: point_weight per unit splat density. Splat weights sum
+        # to N (trilinear partition of unity); mean occupied-voxel
+        # density w_bar = sum W^2 / sum W is the density the samples
+        # themselves see.
+        W = _splat(jnp.ones((points.shape[0], 1), chi.dtype),
+                   i0, t, res)[:, 0]
+        w_bar = jnp.sum(W * W) / jnp.maximum(jnp.sum(W), 1e-12)
+        sigma = point_weight / jnp.maximum(w_bar, 1e-12)
+
+        n = points.shape[0]
+        # Targets = the unscreened iso. In y = chi - iso the targets are
+        # 0 and the sigma*P^T(target) rhs term cancels against
+        # A(iso*const) exactly (trilinear weights sum to 1), leaving
+        # b = -div(V_s): the warm start's residual is then PURELY the
+        # screening mismatch at the samples.
+        b = jnp.real(jnp.fft.ifftn(-divh * gauss, axes=(0, 1, 2))
+                     ).reshape(-1)
+
+        k2_flat = k2.reshape(-1)
+        lam = sigma * n / (res ** 3)      # mean screening density
+
+        def A(x):
+            xh = jnp.fft.fftn(x.reshape(res, res, res
+                                        ).astype(jnp.complex64))
+            lap = jnp.real(jnp.fft.ifftn(k2 * xh)).reshape(-1)
+            return lap + sigma * _splat(_sample(x, i0, t, res)[:, None],
+                                        i0, t, res)[:, 0]
+
+        def Minv(r):
+            rh = jnp.fft.fftn(r.reshape(res, res, res
+                                        ).astype(jnp.complex64)
+                              ).reshape(-1)
+            return jnp.real(jnp.fft.ifftn(
+                (rh / (k2_flat + lam)).reshape(res, res, res))).reshape(-1)
+
+        x0 = chi_flat - iso
+        r0 = b - A(x0)
+        z0 = Minv(r0)
+
+        def body(_, st):
+            x, r, z, p = st
+            Ap = A(p)
+            rz = jnp.vdot(r, z)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = Minv(r)
+            beta = jnp.vdot(r, z) / jnp.maximum(rz, 1e-30)
+            return (x, r, z, p * beta + z)
+
+        y = jax.lax.fori_loop(0, screen_iters, body, (x0, r0, z0, z0))[0]
+        chi_flat = y
+        iso = jnp.mean(_sample(chi_flat, i0, t, res))
+
     # inside-positive, iso at zero: normals point OUTWARD, div < 0 inside
-    return chi - iso
+    return (chi_flat - iso).reshape(res, res, res)
 
 
 def poisson_reconstruct(points: np.ndarray, normals: np.ndarray,
                         res: int = 256, pad: float = 0.1,
                         smooth_voxels: float = 1.5,
                         max_tris: int = 1 << 20,
-                        max_active: int = 1 << 18
+                        max_active: int = 1 << 18,
+                        point_weight: float = 4.0,
+                        screen_iters: int = 10
                         ) -> Tuple[np.ndarray, int]:
     """Watertight mesh from an oriented point cloud.
 
@@ -112,6 +209,9 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray,
       pad: world padding around the point AABB (absorbs the periodic
         boundary of the spectral solve).
       smooth_voxels: Gaussian smoothing sigma in voxels.
+      point_weight: screening strength; 4.0 matches the reference
+        binary's default (SPR 2013), 0 disables (unscreened '06 solve).
+      screen_iters: preconditioned-CG refinement steps when screening.
     Returns:
       (vertices (3*num_tris, 3) soup, num_tris).
     """
@@ -121,7 +221,9 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray,
                             1e-12)
     bmin = jnp.asarray(np.asarray(points).min(0) - pad)
     bmax = jnp.asarray(np.asarray(points).max(0) + pad)
-    chi = _indicator_grid(pts, nrm, bmin, bmax, res, smooth_voxels)
+    chi = _indicator_grid(pts, nrm, bmin, bmax, res, smooth_voxels,
+                          point_weight=point_weight,
+                          screen_iters=screen_iters)
     voxel = (bmax - bmin) / res
     # chi is inside-NEGATIVE as computed (outward normals, divergence
     # sinks inside); flip to the repo's inside-positive convention

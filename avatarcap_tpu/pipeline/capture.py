@@ -251,6 +251,13 @@ class CaptureOptions:
     cano_window: int = 3
     cano_big_tris: int = 256  # the exact pass materializes (cap, H*W)
     # intermediates — keep it small; MC triangles here are sub-2px
+    # live position pass (fusion visibility): same small window as the
+    # cano passes — the live mesh is the skinned MC soup, still ~1-3 px
+    # through the real camera — with a larger exact-pass capacity since
+    # perspective can blow up near-camera triangles. Cheaper AND more
+    # exact than a plain 4x4 window (which partially rasterizes every
+    # oversized triangle).
+    live_big_tris: int = 512
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
@@ -487,7 +494,8 @@ class AvatarCapture:
             proj_n_tris = lift_image_normals(
                 live_mesh.vertices.reshape(-1, 3, 3), valid,
                 inferred_normal, pt_mats.reshape(-1, 3, 4, 4), w2c, proj,
-                fx, fy, cx, cy, img_h, img_w, window=o.raster_window)
+                fx, fy, cx, cy, img_h, img_w, window=o.cano_window,
+                big_tris=o.live_big_tris)
             return cano_interpolate(fri, bri, proj_n_tris)
 
         def skinning_stage(st: CaptureState, mesh: CaptureMesh, cano2live):

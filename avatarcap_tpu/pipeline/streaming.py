@@ -148,6 +148,12 @@ class StreamingCapture:
             out = self._frames_batch(self._state, self._avatar_vars,
                                      self._recon_vars, self._tex_vars,
                                      *args)
+            # ONE host fetch per batch (device_get copies shards without
+            # launching a cross-device gather program — an eager x[i] on
+            # a sharded array compiles a collective, which both wastes a
+            # dispatch per frame and can hit the XLA:CPU 40 s rendezvous
+            # abort when 8 virtual devices share few host cores)
+            out = jax.device_get(out)
             for i in range(len(chunk) - pad):
                 results.append(jax.tree.map(lambda x: x[i], out))
         return results

@@ -251,6 +251,166 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
     )
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "window",
+                                    "max_candidates", "big_tri_capacity"))
+def rasterize_index_pair(clip_front: jnp.ndarray, clip_back: jnp.ndarray,
+                         valid_tris: jnp.ndarray, height: int, width: int,
+                         window: int = 4, max_candidates: int = 0,
+                         big_tri_capacity: int = 0
+                         ) -> tuple:
+    """Front + back index passes of a MIRROR-PAIR camera in ONE candidate
+    sweep (the canonical ortho front/back views of capture).
+
+    Precondition (satisfied by `camera.cano_front_back_mvp`: same ortho
+    projection, back model-view = rot_y(pi) about the mesh center): for
+    every vertex, back NDC = (-x_f, y_f, z_b) with z_b affine-DECREASING
+    in z_f. Then the back view's pixel grid is the x-mirror of the
+    front's ((x+1)W/2-0.5 maps col c_b <-> W-1-c_b), mirroring preserves
+    barycentrics and bbox spans, and back-face culling routes every
+    non-degenerate triangle to EXACTLY ONE view (CCW-in-front <=> CW-in-
+    back). So one dense candidate pass in front pixel space + one
+    compaction + one z-resolve into a double-height buffer replaces two
+    full passes — the dense K^2 x Tp candidate math and the 25-log-step
+    compaction are the dominant raster cost and are paid ONCE here.
+
+    clip_back is consulted only for per-vertex z (the back view's own
+    NDC depth, scattered for back-routed triangles). Outputs are
+    bit-compatible in convention with two `rasterize_index` calls
+    (back buffer in back-view pixel coords, NOT pre-flipped). Two
+    sub-pixel caveats measured on TPU at 512^2 x 1M tris (5 px of 58k
+    lit): winners may differ on exact z ties, and pixels inside the
+    eps barycentric slack (~1e-6 px of an edge) can be enumerated by
+    one window layout and not the other — the merged pass walks the
+    MIRRORED front K^2 window, `rasterize_index` walks the back view's
+    own bbox window; both cover every pixel-center-inside column, but
+    their overhang columns differ.
+    """
+    T = clip_front.shape[0]
+    K = window
+    Tp = 1 << max(T - 1, 1).bit_length()
+    if Tp != T:
+        clip_front = jnp.pad(clip_front, ((0, Tp - T), (0, 0), (0, 0)))
+        clip_back = jnp.pad(clip_back, ((0, Tp - T), (0, 0), (0, 0)))
+        valid_tris = jnp.pad(valid_tris, (0, Tp - T))
+
+    w = clip_front[..., 3]
+    w_ok = jnp.all(w > 1e-8, axis=-1) & valid_tris
+    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1.0, w)
+    ndc = clip_front[..., :3] / w_safe[..., None]
+    pz_b = clip_back[..., 2] / w_safe                   # ortho: w == 1
+
+    px = (ndc[..., 0] + 1.0) * (0.5 * width) - 0.5      # (Tp, 3)
+    py = (1.0 - ndc[..., 1]) * (0.5 * height) - 0.5
+    pz = ndc[..., 2]
+
+    ax, ay = px[:, 0], py[:, 0]
+    bx, by = px[:, 1], py[:, 1]
+    cx, cy = px[:, 2], py[:, 2]
+    area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    side = area2 > 0.0                  # CW in front view -> back buffer
+    tri_ok = w_ok & (jnp.abs(area2) > 1e-12)
+    iw = 1.0 / w_safe
+    # per-vertex z of the triangle's OWN view
+    pz_sel = jnp.where(side[:, None], pz_b, pz)
+
+    min_x = jnp.ceil(jnp.min(px, axis=-1)).astype(jnp.int32)
+    min_y = jnp.ceil(jnp.min(py, axis=-1)).astype(jnp.int32)
+    too_big = ((jnp.max(px, axis=-1) > min_x.astype(px.dtype) + (K - 1)) |
+               (jnp.max(py, axis=-1) > min_y.astype(py.dtype) + (K - 1)))
+    is_big = tri_ok & too_big
+    tri_main = tri_ok & ~is_big if big_tri_capacity > 0 else tri_ok
+
+    dyx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                                 indexing="ij"), axis=-1).reshape(-1, 2)
+    eps = -1e-6
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) < 1e-12, 1.0, area2)
+
+    slot_col = jnp.arange(K * K, dtype=jnp.int32)[:, None]
+    cy_d = min_y[None, :] + dyx[slot_col, 0]            # (K*K, Tp)
+    cx_d = min_x[None, :] + dyx[slot_col, 1]
+    in_img = ((cx_d >= 0) & (cx_d < width) & (cy_d >= 0) & (cy_d < height))
+    fx_d = cx_d.astype(px.dtype)
+    fy_d = cy_d.astype(py.dtype)
+    w0_d = ((cx - bx)[None, :] * (fy_d - by[None, :])
+            - (cy - by)[None, :] * (fx_d - bx[None, :])) * inv_area[None, :]
+    w1_d = ((ax - cx)[None, :] * (fy_d - cy[None, :])
+            - (ay - cy)[None, :] * (fx_d - cx[None, :])) * inv_area[None, :]
+    w2_d = 1.0 - w0_d - w1_d
+    z_d = (w0_d * pz_sel[None, :, 0] + w1_d * pz_sel[None, :, 1]
+           + w2_d * pz_sel[None, :, 2])
+    ok_d = ((w0_d >= eps) & (w1_d >= eps) & (w2_d >= eps) & in_img
+            & (z_d >= -1.0) & (z_d <= 1.0) & tri_main[None, :])
+
+    # back-routed candidates scatter at the MIRRORED column of the back
+    # buffer (offset npix) so both outputs keep rasterize_index's
+    # convention exactly
+    npix = height * width
+    col_sel = jnp.where(side[None, :], (width - 1) - cx_d, cx_d)
+    pix_d = (jnp.where(side[None, :], npix, 0)
+             + cy_d * width + col_sel).reshape(-1)
+    valid = ok_d.reshape(-1)
+    z_flat = z_d.reshape(-1)
+    w0_flat = w0_d.reshape(-1)
+    w1_flat = w1_d.reshape(-1)
+
+    # both views' survivors share one compaction: capacity defaults 2x
+    max_c = max_candidates if max_candidates > 0 else max(2 * T, 1 << 17)
+    from avatarcap_tpu.ops.compaction import compact_mask_indices
+    cand_of, n_covered, c_live = compact_mask_indices(valid, max_c)
+    overflow = n_covered > max_c
+    cand_of = jax.lax.optimization_barrier(cand_of)
+    pix_c = jnp.where(c_live, pix_d[cand_of], 2 * npix)
+    z_c = jnp.where(c_live, z_flat[cand_of], jnp.inf)
+
+    zbuf = jnp.full((2 * npix + 1,), jnp.inf, z_c.dtype).at[pix_c].min(z_c)
+    is_winner = (z_c == zbuf[pix_c]) & (z_c < jnp.inf)
+    win_ids = jnp.where(is_winner, cand_of, jnp.iinfo(jnp.int32).max)
+    winner = jnp.full((2 * npix + 1,), jnp.iinfo(jnp.int32).max,
+                      jnp.int32).at[pix_c].min(win_ids)
+
+    outs = []
+    for s in range(2):
+        wv = winner[s * npix:(s + 1) * npix]
+        mask = wv != jnp.iinfo(jnp.int32).max
+        safe_winner = jnp.where(mask, wv, 0)
+        tri_of = safe_winner & (Tp - 1)
+        bw = _perspective_weights(w0_flat[safe_winner],
+                                  w1_flat[safe_winner], iw[tri_of])
+        out_depth = jnp.where(mask, zbuf[s * npix:(s + 1) * npix], jnp.inf)
+
+        if big_tri_capacity > 0:
+            if s == 0:
+                bpx, bpy, bpz = px, py, pz
+                barea, bbig = area2, is_big & ~side
+            else:
+                # big pass in the back view's own pixel space
+                bpx = (width - 1.0) - px
+                bpy, bpz = py, pz_b
+                barea, bbig = -area2, is_big & side
+            (big_tri, big_bw, big_depth, big_mask,
+             big_over) = _big_triangle_pass(bpx, bpy, bpz, iw, barea,
+                                            bbig, big_tri_capacity,
+                                            height, width)
+            overflow = overflow | big_over
+            take_big = big_mask & (big_depth < out_depth)
+            tri_of = jnp.where(take_big, big_tri, tri_of)
+            bw = jnp.where(take_big[:, None], big_bw, bw)
+            out_depth = jnp.where(take_big, big_depth, out_depth)
+            mask = mask | big_mask
+        else:
+            overflow = overflow | jnp.any(is_big)
+
+        outs.append(RasterIndex(
+            tri=tri_of, bw=bw,
+            depth=out_depth.reshape(height, width),
+            mask=mask.reshape(height, width),
+            overflow=overflow))
+    # both sides report the shared overflow flag
+    return outs[0]._replace(overflow=overflow), \
+        outs[1]._replace(overflow=overflow)
+
+
 def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
               valid_tris: jnp.ndarray,
               height: int, width: int, window: int = 4,

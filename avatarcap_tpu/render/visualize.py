@@ -50,10 +50,12 @@ def phong_shade(cam_pos: jnp.ndarray, cam_normal: jnp.ndarray,
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("res", "window", "big_tris"))
+@functools.partial(jax.jit, static_argnames=("res", "window", "big_tris",
+                                             "mirror_pair"))
 def cano_index_passes(tris: jnp.ndarray, valid: jnp.ndarray,
                       front_mvp: jnp.ndarray, back_mvp: jnp.ndarray,
-                      res: int = 512, window: int = 4, big_tris: int = 0
+                      res: int = 512, window: int = 4, big_tris: int = 0,
+                      mirror_pair: bool = True
                       ) -> Tuple[RasterIndex, RasterIndex]:
     """Front + back orthographic visibility buffers of the canonical mesh.
 
@@ -61,7 +63,20 @@ def cano_index_passes(tris: jnp.ndarray, valid: jnp.ndarray,
     layers (avatar normals, phong inputs, lifted image normals — reference
     main.py:367-375 + normal_fusion.py:62); one index pass per side feeds
     them all via `interpolate` so the z-resolve cost is paid once.
+
+    mirror_pair=True (valid for `camera.cano_front_back_mvp` matrices,
+    which are the same ortho projection with the back view rotated pi
+    about y) runs BOTH views in one merged candidate pass
+    (`rasterize_index_pair`) — culling sends each triangle to exactly one
+    view, so the dense candidate math and compaction are paid once. Pass
+    False for arbitrary unrelated matrices.
     """
+    from avatarcap_tpu.render.raster import rasterize_index_pair
+    if mirror_pair:
+        return rasterize_index_pair(
+            _transform_tris(tris, front_mvp),
+            _transform_tris(tris, back_mvp), valid, res, res,
+            window=window, big_tri_capacity=big_tris)
     fri = rasterize_index(_transform_tris(tris, front_mvp), valid, res, res,
                           window=window, big_tri_capacity=big_tris)
     bri = rasterize_index(_transform_tris(tris, back_mvp), valid, res, res,

@@ -61,3 +61,68 @@ class TestPoissonReconstruct:
         assert p_err < 0.015, p_err
         assert t_err < 0.02, t_err
         assert p_err <= t_err + 0.005, (p_err, t_err)
+
+
+def _wrinkled_cloud(rng, n=60000, R=0.5, amp=0.02, freq=9.0):
+    """Star-shaped wrinkled surface r(u) = R*(1 + a*sin(f*ux)*sin(f*uy)
+    *cos(f*uz)) — clothing-fold-scale relief (2 cm folds, ~35 cm body).
+    Returns (points, outward normals, radial_fn) with normals from the
+    analytic implicit F(x) = |x| - r(x/|x|) by central differences."""
+    u = rng.standard_normal((n, 3)).astype(np.float64)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+
+    def r_of(u_):
+        return R * (1.0 + amp / R * np.sin(freq * u_[:, 0])
+                    * np.sin(freq * u_[:, 1]) * np.cos(freq * u_[:, 2]))
+
+    def F(x):
+        d = np.linalg.norm(x, axis=-1)
+        return d - r_of(x / np.maximum(d, 1e-12)[:, None])
+
+    pts = u * r_of(u)[:, None]
+    h = 1e-5
+    g = np.stack([(F(pts + h * np.eye(3)[i]) - F(pts - h * np.eye(3)[i]))
+                  / (2 * h) for i in range(3)], axis=-1)
+    nrm = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    return (pts.astype(np.float32), nrm.astype(np.float32),
+            lambda v: np.abs(np.linalg.norm(v, axis=-1)
+                             - r_of(v / np.maximum(
+                                 np.linalg.norm(v, axis=-1,
+                                                keepdims=True), 1e-12))))
+
+
+class TestScreenedPoisson:
+    """VERDICT r2 item 7: the reference binary is SCREENED Poisson
+    (default point weight 4); screened-vs-unscreened differs most on
+    thin clothing folds. Pin that gap on a wrinkle-scale fixture."""
+
+    def test_screening_tightens_wrinkles(self, rng):
+        from avatarcap_tpu.ops.poisson import poisson_reconstruct
+        pts, nrm, radial_err = _wrinkled_cloud(rng)
+        sv, s_nt = poisson_reconstruct(pts, nrm, res=128, pad=0.12,
+                                       point_weight=4.0)
+        uv, u_nt = poisson_reconstruct(pts, nrm, res=128, pad=0.12,
+                                       point_weight=0.0)
+        assert s_nt > 5000 and u_nt > 5000
+        s_med = float(np.median(radial_err(sv)))
+        u_med = float(np.median(radial_err(uv)))
+        s_p95 = float(np.quantile(radial_err(sv), 0.95))
+        u_p95 = float(np.quantile(radial_err(uv), 0.95))
+        # Screening interpolates the samples, so the fold EXTREMES must
+        # sharpen: measured 5.12 -> 4.09 mm p95 (a ~1 mm gap closed, the
+        # bound VERDICT r2 asked to pin); the median is discretization-
+        # dominated (~0.4 voxel) and shared by both solves.
+        assert s_med <= u_med + 2e-4, (s_med, u_med)
+        assert s_p95 <= u_p95 - 7e-4, (s_p95, u_p95)
+        assert s_med < 4.5e-3, s_med        # < half the 9 mm voxel
+        assert s_p95 < 4.5e-3, s_p95
+
+    def test_screened_sphere_still_exact(self, rng):
+        """Screening must not distort an already-consistent cloud."""
+        from avatarcap_tpu.ops.poisson import poisson_reconstruct
+        pts, nrm = _noisy_sphere_cloud(rng, noise=0.0, hole=False)
+        v, nt = poisson_reconstruct(pts, nrm, res=96, pad=0.15,
+                                    point_weight=4.0)
+        assert nt > 1000
+        rad = np.linalg.norm(v, axis=-1)
+        assert abs(np.median(rad) - 0.5) < 0.01

@@ -226,3 +226,90 @@ class TestCanoRender:
         assert np.all(front[0, 0] == 1.0)
         edge = front[64, 40, 0]
         assert edge < front[64, 64, 0] + 1e-5
+
+
+class TestMirrorPairPass:
+    """rasterize_index_pair (merged front+back ortho) must reproduce two
+    independent rasterize_index passes on cano_front_back_mvp cameras."""
+
+    def _mesh(self, n=4000, seed=0, spike=True):
+        rng = np.random.RandomState(seed)
+        c = rng.uniform(-0.6, 0.6, (n, 1, 3)).astype(np.float32)
+        tris = c + rng.uniform(-0.015, 0.015, (n, 3, 3)).astype(np.float32)
+        if spike:
+            # a few window-overflowing triangles exercise the big pass
+            tris[:3] = c[:3] + rng.uniform(-0.4, 0.4, (3, 3, 3))
+        valid = rng.rand(n) > 0.1
+        return jnp.asarray(tris), jnp.asarray(valid)
+
+    def test_matches_two_pass(self):
+        from avatarcap_tpu.render.raster import (rasterize_index,
+                                                 rasterize_index_pair,
+                                                 interpolate)
+        from avatarcap_tpu.render.visualize import _transform_tris
+        tris, valid = self._mesh()
+        fmvp, _, bmvp, _ = cano_front_back_mvp(np.zeros(3, np.float32))
+        fm = jnp.asarray(fmvp)
+        bm = jnp.asarray(bmvp)
+        res, window, big = 128, 3, 16
+        f2 = rasterize_index(_transform_tris(tris, fm), valid, res, res,
+                             window=window, big_tri_capacity=big)
+        b2 = rasterize_index(_transform_tris(tris, bm), valid, res, res,
+                             window=window, big_tri_capacity=big)
+        f1, b1 = rasterize_index_pair(
+            _transform_tris(tris, fm), _transform_tris(tris, bm), valid,
+            res, res, window=window, big_tri_capacity=big)
+        attr = tris  # interpolate positions: continuous across shared edges
+        for merged, two in ((f1, f2), (b1, b2)):
+            mm, tm = np.asarray(merged.mask), np.asarray(two.mask)
+            # candidate windows differ between the layouts (mirrored
+            # front bbox vs the back view's own bbox), so pixels inside
+            # the ~1e-6 px eps slack of an edge may disagree — measured
+            # 5/58k on TPU; bound it tightly rather than require
+            # bit-equality
+            assert (mm != tm).sum() <= max(3, int(2e-4 * tm.sum()))
+            both = mm & tm
+            np.testing.assert_allclose(np.asarray(merged.depth)[both],
+                                       np.asarray(two.depth)[both],
+                                       atol=1e-5)
+            # winner ids can differ only on exact z ties; interpolated
+            # attributes must agree on shared pixels
+            ia = np.asarray(interpolate(merged, attr))
+            ib = np.asarray(interpolate(two, attr))
+            err = np.abs(ia - ib)[both]
+            assert np.quantile(err, 0.999) < 1e-4
+        assert not bool(f1.overflow)
+
+    def test_every_triangle_routed_once(self):
+        """Union of front+back coverage equals the uncullled totals:
+        a triangle must never appear in both views."""
+        from avatarcap_tpu.render.raster import rasterize_index_pair
+        from avatarcap_tpu.render.visualize import _transform_tris
+        tris, valid = self._mesh(n=500, seed=3, spike=False)
+        fmvp, _, bmvp, _ = cano_front_back_mvp(np.zeros(3, np.float32))
+        f1, b1 = rasterize_index_pair(
+            _transform_tris(tris, jnp.asarray(fmvp)),
+            _transform_tris(tris, jnp.asarray(bmvp)), valid, 128, 128,
+            window=3, big_tri_capacity=8)
+        ft = set(np.asarray(f1.tri)[np.asarray(f1.mask).reshape(-1)])
+        bt = set(np.asarray(b1.tri)[np.asarray(b1.mask).reshape(-1)])
+        assert ft and bt and not (ft & bt)
+
+    def test_cano_index_passes_merged_matches_legacy(self):
+        from avatarcap_tpu.render.visualize import (cano_index_passes,
+                                                    cano_interpolate)
+        tris, valid = self._mesh(n=2000, seed=5)
+        fmvp, _, bmvp, _ = cano_front_back_mvp(
+            np.array([0.05, -0.1, 0.02], np.float32))
+        normals = jnp.asarray(
+            np.random.RandomState(1).randn(*tris.shape).astype(np.float32))
+        out = {}
+        for mp in (True, False):
+            fri, bri = cano_index_passes(tris, valid, jnp.asarray(fmvp),
+                                         jnp.asarray(bmvp), res=128,
+                                         window=3, big_tris=16,
+                                         mirror_pair=mp)
+            out[mp] = cano_interpolate(fri, bri, normals)
+        for a, b in zip(out[True], out[False]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
