@@ -11,13 +11,20 @@ routes are slow on TPU at N ~ 16.7M (v5e, measured):
 
 This version is gather-free on the hot axis. Pack the mask into uint32
 words (vector), take the words' exclusive popcount cumsum (the output
-slot where each word's first set bit lands), then ONE multi-channel
-scatter of (word index, word start, word bits) at those slots followed by
-a forward-fill associative scan over the max_out slots. After the fill,
-every output slot knows its source word without any random access; the
-r-th-set-bit select is pure vector math (5 popcount/shift steps).
-Cost: one 2-ch pair scan (~19 ms @ 1M) + one N/32-element scatter +
-vector work — ~8x faster than the searchsorted route at raster/MC sizes.
+slot where each word's first set bit lands), then scatter each
+contributing word's (index, bits) at its first output slot and
+forward-fill over the max_out slots. After the fill, every output slot
+knows its source word without any random access; the r-th-set-bit
+select is pure vector math (5 popcount/shift steps).
+
+Scatter shape matters (measured on v5e at 590k words -> 512k slots):
+a single 3-channel ROW scatter runs at ~40 ns/row, while SEPARATE
+scalar scatters run at ~6.6 ns/update — so the seed uses two scalar
+scatters (word index, word bits). The word's start slot is NOT
+scattered at all: a seed lands AT its own start slot, so
+where(seeded, iota, INT_MIN) reproduces it exactly and rides the same
+forward fill. 26.6 -> 11.6 ms at marching-cubes size (18.9M mask);
+~8x faster than the searchsorted route.
 """
 
 from __future__ import annotations
@@ -92,19 +99,26 @@ def compact_mask_indices(mask: jnp.ndarray, max_out: int):
     total = cum[-1]
     start = cum - pc                 # output slot of each word's first bit
 
-    # One scatter seeds each contributing word's (index, start, bits) at
-    # its first output slot; a forward-fill max-scan gives every slot its
-    # source word. word_idx is nondecreasing along slots, so carrying the
-    # pair by max(word_idx) is an exact last-write-wins fill.
+    # Two SCALAR scatters seed each contributing word's (index, bits) at
+    # its first output slot (scalar scatters are ~6x faster than one
+    # row scatter on v5e — see module docstring); a forward-fill
+    # max-scan gives every slot its source word. word_idx is
+    # nondecreasing along slots, so carrying rows by max(word_idx) is an
+    # exact last-write-wins fill.
     Nw = words.shape[0]
+    INT_MIN = jnp.iinfo(jnp.int32).min
     slot = jnp.where((pc > 0) & (start < max_out), start, max_out)
     # init at INT32_MIN: word bits reinterpreted as int32 may be negative,
     # and contributing slots are unique, so max == the single update
-    seed = jnp.full((max_out + 1, 3), jnp.iinfo(jnp.int32).min,
-                    jnp.int32).at[slot].max(
-        jnp.stack([jnp.arange(Nw, dtype=jnp.int32),
-                   start,
-                   words.astype(jnp.int32)], axis=-1))[:max_out]
+    widx = jnp.full((max_out + 1,), INT_MIN, jnp.int32).at[slot].max(
+        jnp.arange(Nw, dtype=jnp.int32))[:max_out]
+    wbits = jnp.full((max_out + 1,), INT_MIN, jnp.int32).at[slot].max(
+        words.astype(jnp.int32))[:max_out]
+    # a seed lands AT its own start slot, so the start channel is just
+    # the slot iota at seeded positions — no third scatter needed
+    st = jnp.where(widx != INT_MIN,
+                   jnp.arange(max_out, dtype=jnp.int32), INT_MIN)
+    seed = jnp.stack([widx, st, wbits], axis=-1)
 
     filled = prefix_fill_max(seed)
     word_of = filled[:, 0]

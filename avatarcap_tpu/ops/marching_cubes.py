@@ -359,18 +359,23 @@ def marching_tets(volume: jnp.ndarray, iso: float,
         is_active, max_active)
     active_ids = jax.lax.optimization_barrier(active_ids)
 
-    # Gather the 8 corner values for ACTIVE cubes only (8 scalar gathers of
-    # max_active elements from the flat volume).
+    # Gather the 8 corner values for ACTIVE cubes with ONE 32 B row
+    # gather from a pre-packed (cells, 8) table. Random gathers are
+    # DMA-latency-bound (~10 ns per issued row regardless of width up to
+    # ~512 B), so 1 row DMA per cube beats the 8 scalar gathers this
+    # used to do by ~8x (43 -> ~8 ms/frame at 512k active); building the
+    # table is pure bandwidth (~1.2 GB, 2-3 ms at 18.6M cells). The
+    # barrier stops XLA from fusing the gather back into 8 per-source
+    # gathers.
     aid0 = active_ids
     aix = aid0 // (ny * nz)
     aiy = (aid0 // nz) % ny
     aiz = aid0 % nz
-    vol_flat = volume.reshape(-1)
-    corner_cols = []
-    for dx, dy, dz in _CUBE_CORNERS:
-        flat = ((aix + dx) * Y + (aiy + dy)) * Z + (aiz + dz)
-        corner_cols.append(vol_flat[flat])
-    av = jnp.stack(corner_cols, axis=-1)               # (A, 8)
+    cells8 = jnp.stack(
+        [volume[dx:nx + dx, dy:ny + dy, dz:nz + dz]
+         for dx, dy, dz in _CUBE_CORNERS], axis=-1).reshape(-1, 8)
+    cells8 = jax.lax.optimization_barrier(cells8)
+    av = cells8[aid0]                                  # (A, 8)
     av, active_ids = jax.lax.optimization_barrier((av, active_ids))
     a_inside = (av > iso).astype(jnp.int32)            # (A, 8)
 
@@ -427,7 +432,7 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     base_packed = (aix << 20) | (aiy << 10) | aiz       # 10 bits each
     A_cap = cube_cum.shape[0]
     if method == "mc256":
-        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
+        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32),
                       case8, base_packed]
     else:
         pref_c = jnp.cumsum(tcounts, axis=1)            # (A, 6)
@@ -437,9 +442,9 @@ def marching_tets(volume: jnp.ndarray, iso: float,
         cases_packed = jnp.sum(
             cases << (4 * jnp.arange(6, dtype=jnp.int32))[None, :],
             axis=1).astype(jnp.int32)
-        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32), cube_start,
+        carry_cols = [jnp.arange(A_cap, dtype=jnp.int32),
                       pref_packed, cases_packed, base_packed]
-    av_col0 = len(carry_cols)
+    av_col0 = len(carry_cols) + 1   # +1: derived start col is re-inserted
     # corner values ride as bf16 pairs (4 channels instead of 8): they
     # only steer the within-edge interpolation parameter tt, where bf16's
     # ~0.4% relative error moves vertices by well under 1% of a voxel
@@ -451,21 +456,31 @@ def marching_tets(volume: jnp.ndarray, iso: float,
                    for i in range(4)]
 
     if normal_volume is not None:
-        # corner gradients for ACTIVE cubes, packed 2 bf16 per int32
-        nv_flat = normal_volume.reshape(-1, 3)
-        grad_cols = []
-        for dx, dy, dz in _CUBE_CORNERS:
-            flat = ((aix + dx) * Y + (aiy + dy)) * Z + (aiz + dz)
-            grad_cols.append(nv_flat[flat])
-        gv = jnp.stack(grad_cols, axis=1).reshape(A_cap, 24)   # (A, 24)
+        # corner gradients for ACTIVE cubes, packed 2 bf16 per int32;
+        # one 96 B row gather from a packed (cells, 24) table (same
+        # DMA-amortization as the value corners above)
+        gcells = jnp.stack(
+            [normal_volume[dx:nx + dx, dy:ny + dy, dz:nz + dz]
+             for dx, dy, dz in _CUBE_CORNERS], axis=-2)
+        gcells = jax.lax.optimization_barrier(
+            gcells.reshape(-1, 24))
+        gv = gcells[aid0]                                      # (A, 24)
         gv16 = jax.lax.bitcast_convert_type(
             gv.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
         carry_cols += [(gv16[:, 2 * i] | (gv16[:, 2 * i + 1] << 16))
                        for i in range(12)]
 
+    INT_MIN = jnp.iinfo(jnp.int32).min
     seed = jnp.full((max_tris + 1, len(carry_cols)),
-                    jnp.iinfo(jnp.int32).min, jnp.int32).at[start_slot].max(
+                    INT_MIN, jnp.int32).at[start_slot].max(
         jnp.stack(carry_cols, axis=-1), mode="drop")[:max_tris]
+    # the cube's output start is NOT scattered: a seed lands AT its own
+    # start slot, so the slot iota at seeded rows reproduces it exactly
+    # (one fewer scatter channel); re-inserted as column 1 to keep the
+    # downstream layout [rank, start, ...]
+    st = jnp.where(seed[:, 0] != INT_MIN,
+                   jnp.arange(max_tris, dtype=jnp.int32), INT_MIN)
+    seed = jnp.concatenate([seed[:, :1], st[:, None], seed[:, 1:]], axis=1)
     filled = prefix_fill_max(seed)
     r = tri_j - jnp.maximum(filled[:, 1], 0)            # slot within cube
 
