@@ -28,13 +28,14 @@ from avatarcap_tpu.render.visualize import render_cano_mesh
 
 
 @functools.partial(jax.jit, static_argnames=("img_h", "img_w", "window",
-                                             "big_tris"))
+                                             "big_tris", "max_candidates"))
 def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
                        normal_map: jnp.ndarray, vert_mats: jnp.ndarray,
                        mv: jnp.ndarray, proj: jnp.ndarray,
                        fx: float, fy: float, cx: float, cy: float,
                        img_h: int, img_w: int, window: int = 4,
-                       big_tris: int = 0) -> jnp.ndarray:
+                       big_tris: int = 0,
+                       max_candidates: int = 0) -> jnp.ndarray:
     """Image-space normals -> per-soup-vertex canonical normals
     (steps 1-3 of reference normal_fusion.py:12-60):
 
@@ -55,7 +56,8 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
     vh = jnp.concatenate([live_tris, jnp.ones_like(live_tris[..., :1])], -1)
     clip = jnp.einsum("ij,tvj->tvi", mvp, vh, precision="highest")
     pos_pass = rasterize(clip, live_tris, valid_tris, img_h, img_w,
-                         window=window, big_tri_capacity=big_tris)
+                         window=window, big_tri_capacity=big_tris,
+                         max_candidates=max_candidates)
     position_map = pos_pass.attrs                         # (H, W, 3)
 
     # 2. project vertices; visibility by position agreement (reference :26-36)

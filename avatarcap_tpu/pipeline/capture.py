@@ -258,6 +258,12 @@ class CaptureOptions:
     # exact than a plain 4x4 window (which partially rasterizes every
     # oversized triangle).
     live_big_tris: int = 512
+    # Candidate-buffer capacity for the index passes (0 = the raster's
+    # own 2*T default). EVERY z-resolve gather/scatter walks this many
+    # slots (~10 ns each on v5e), so sizing it near the measured covered
+    # count (sub-2px MC triangles cover ~1.2 px each; overflow is
+    # reported) trims ~10 ns * slack per pass.
+    raster_max_candidates: int = 0
     fusion_iters: int = 100
     integrate_manner: str = "merge"  # 'merge' | 'cover'
     n_samples: int = 64              # nerf color samples
@@ -471,18 +477,47 @@ class AvatarCapture:
             then all attribute layers by interpolation: avatar normals
             (reference main.py:369) and the phong preview (main.py:371-375).
             The index passes are reused again for the lifted image normals
-            in the fusion stage."""
+            in the fusion stage.
+
+            All per-vertex layers (normals + both sides' phong camera
+            positions/normals) are concatenated into ONE 15-channel
+            attribute table so each side pays a single 180 B row gather
+            per pixel instead of three 36 B ones — row DMAs are
+            latency-bound, so this is 6 gather passes -> 2 (~10 ms/frame
+            at 512^2; same math as cano_interpolate + cano_phong)."""
+            from avatarcap_tpu.render.raster import interpolate
+            from avatarcap_tpu.render.visualize import phong_shade
             tris = mesh.vertices.reshape(-1, 3, 3)
             attr = mesh.normals.reshape(-1, 3, 3)
             fri, bri = cano_index_passes(
                 tris, mesh.valid, jnp.asarray(self._fmvp),
                 jnp.asarray(self._bmvp), res=o.render_res,
-                window=o.cano_window, big_tris=o.cano_big_tris)
-            front_n, back_n = cano_interpolate(fri, bri, attr)
-            phong = cano_phong(fri, bri, tris, attr,
-                               jnp.asarray(self._fmv),
-                               jnp.asarray(self._bmv))
-            return fri, bri, front_n, back_n, phong
+                window=o.cano_window, big_tris=o.cano_big_tris,
+                max_candidates=o.raster_max_candidates)
+
+            def cam_attrs(mv):
+                cam_v = jnp.einsum("ij,tvj->tvi", mv[:3, :3], tris,
+                                   precision="highest") + mv[:3, 3]
+                cam_n = jnp.einsum("ij,tvj->tvi", mv[:3, :3], attr,
+                                   precision="highest")
+                cam_n = cam_n / jnp.maximum(
+                    jnp.linalg.norm(cam_n, axis=-1, keepdims=True), 1e-12)
+                return cam_v, cam_n
+
+            fv, fn = cam_attrs(jnp.asarray(self._fmv))
+            bv, bn = cam_attrs(jnp.asarray(self._bmv))
+            wide = jnp.concatenate([attr, fv, fn, bv, bn], axis=-1)
+            f_out = interpolate(fri, wide)
+            b_out = interpolate(bri, wide)[:, ::-1]
+            front_n = f_out[..., 0:3]
+            back_n = b_out[..., 0:3]
+            phong_f = jnp.where(fri.mask[..., None],
+                                phong_shade(f_out[..., 3:6],
+                                            f_out[..., 6:9]), 1.0)
+            phong_b = jnp.where(bri.mask[:, ::-1][..., None],
+                                phong_shade(b_out[..., 9:12],
+                                            b_out[..., 12:15]), 1.0)
+            return fri, bri, front_n, back_n, (phong_f, phong_b)
 
         def lift_normals_stage(fri, bri, live_mesh: CaptureMesh,
                                valid, inferred_normal, pt_mats, w2c, proj,
@@ -495,7 +530,8 @@ class AvatarCapture:
                 live_mesh.vertices.reshape(-1, 3, 3), valid,
                 inferred_normal, pt_mats.reshape(-1, 3, 4, 4), w2c, proj,
                 fx, fy, cx, cy, img_h, img_w, window=o.cano_window,
-                big_tris=o.live_big_tris)
+                big_tris=o.live_big_tris,
+                max_candidates=o.raster_max_candidates)
             return cano_interpolate(fri, bri, proj_n_tris)
 
         def skinning_stage(st: CaptureState, mesh: CaptureMesh, cano2live):

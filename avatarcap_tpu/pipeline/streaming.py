@@ -148,12 +148,17 @@ class StreamingCapture:
             out = self._frames_batch(self._state, self._avatar_vars,
                                      self._recon_vars, self._tex_vars,
                                      *args)
-            # ONE host fetch per batch (device_get copies shards without
-            # launching a cross-device gather program — an eager x[i] on
-            # a sharded array compiles a collective, which both wastes a
-            # dispatch per frame and can hit the XLA:CPU 40 s rendezvous
-            # abort when 8 virtual devices share few host cores)
-            out = jax.device_get(out)
+            if len(self.mesh.devices.reshape(-1)) > 1:
+                # ONE host fetch per batch: an eager x[i] on a MESH-
+                # sharded array compiles a cross-device gather, which
+                # wastes a dispatch per frame and can hit the XLA:CPU
+                # 40 s collective-rendezvous abort when 8 virtual
+                # devices share few host cores. device_get copies
+                # shards without launching any program.
+                out = jax.device_get(out)
+            # single-device: slice lazily on device — results stay
+            # device arrays (callers sync 1 element/leaf; a full fetch
+            # through the tunneled runtime runs at only 20-90 MB/s)
             for i in range(len(chunk) - pad):
                 results.append(jax.tree.map(lambda x: x[i], out))
         return results

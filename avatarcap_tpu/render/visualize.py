@@ -51,11 +51,12 @@ def phong_shade(cam_pos: jnp.ndarray, cam_normal: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("res", "window", "big_tris",
-                                             "mirror_pair"))
+                                             "mirror_pair",
+                                             "max_candidates"))
 def cano_index_passes(tris: jnp.ndarray, valid: jnp.ndarray,
                       front_mvp: jnp.ndarray, back_mvp: jnp.ndarray,
                       res: int = 512, window: int = 4, big_tris: int = 0,
-                      mirror_pair: bool = True
+                      mirror_pair: bool = True, max_candidates: int = 0
                       ) -> Tuple[RasterIndex, RasterIndex]:
     """Front + back orthographic visibility buffers of the canonical mesh.
 
@@ -76,11 +77,14 @@ def cano_index_passes(tris: jnp.ndarray, valid: jnp.ndarray,
         return rasterize_index_pair(
             _transform_tris(tris, front_mvp),
             _transform_tris(tris, back_mvp), valid, res, res,
-            window=window, big_tri_capacity=big_tris)
+            window=window, big_tri_capacity=big_tris,
+            max_candidates=max_candidates)
     fri = rasterize_index(_transform_tris(tris, front_mvp), valid, res, res,
-                          window=window, big_tri_capacity=big_tris)
+                          window=window, big_tri_capacity=big_tris,
+                          max_candidates=max_candidates)
     bri = rasterize_index(_transform_tris(tris, back_mvp), valid, res, res,
-                          window=window, big_tri_capacity=big_tris)
+                          window=window, big_tri_capacity=big_tris,
+                          max_candidates=max_candidates)
     return fri, bri
 
 
