@@ -243,6 +243,14 @@ class CaptureOptions:
     max_tris: int = 1 << 20
     max_active: int = (1 << 18) + (1 << 17)  # ~2.3 tris/cube (mc256):
     # a ~600k-tri body has ~260k active cubes; overflow is reported
+    # Separate static capacities for the RECON mesh (0 = same as
+    # max_tris/max_active). ReconNet output is smoother than the
+    # wrinkled avatar template (~245k vs ~554k tris on the bench body),
+    # and every downstream walk — emission fill, skinning row gathers,
+    # soup padding — is paid at static capacity, so oversizing the
+    # recon mesh 3x costs real milliseconds. Overflow is reported.
+    recon_max_tris: int = 0
+    recon_max_active: int = 0
     render_res: int = 512
     raster_window: int = 4
     # canonical ortho passes see sub-2px MC triangles (cube diag ~1.4
@@ -610,7 +618,8 @@ class AvatarCapture:
                     method=ReconNetwork.decode_points)[0]
                 vol = prior01.at[g.valid_idx].set(ov, mode="drop")
             mesh = _extract_mesh(vol, g, statics.cano_bounds,
-                                 0.5, o.max_tris, o.max_active,
+                                 0.5, o.recon_max_tris or o.max_tris,
+                                 o.recon_max_active or o.max_active,
                                  o.normal_mode)
             if use_hier:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)

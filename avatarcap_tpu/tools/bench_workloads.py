@@ -345,7 +345,13 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                              "recon": jax.tree.map(np.asarray, recon_vars)},
                             f)
 
+    # Recon capacities: ReconNet's output is smoother than the wrinkled
+    # template (~245k tris / ~107k active measured on this body vs
+    # 554k/276k avatar-side) — 2x headroom instead of inheriting the
+    # avatar's 3x-oversized caps; overflow is asserted in bench tests.
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
+                          recon_max_tris=min(max_tris, 1 << 19),
+                          recon_max_active=min(max_active, 1 << 18),
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses

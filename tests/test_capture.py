@@ -93,6 +93,29 @@ class TestCapture:
         capture, item, cam = capture_env
         res = capture.process_frame(item, w_recon=False, w_nerf=False)
         assert int(res["cano_mesh"].num_tris) > 100
+
+    def test_recon_capacities_apply(self, capture_env):
+        """recon_max_tris/active size the RECON mesh independently of the
+        avatar mesh (both downstream walks are paid at static capacity)."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        opts = dataclasses.replace(capture.opt,
+                                   recon_max_tris=1 << 14,
+                                   recon_max_active=1 << 12)
+        cap2 = AvatarCapture(capture.avatar, capture.avatar_vars,
+                             capture.statics, capture.grid,
+                             recon=capture.recon,
+                             recon_vars=capture.recon_vars, options=opts)
+        inferred = np.zeros((128, 128, 3), np.float32)
+        inferred[32:96, 32:96] = [0.0, 0.0, -1.0]
+        res = cap2.process_frame(item, w_recon=True, w_nerf=False,
+                                 inferred_normal=inferred,
+                                 neck_vertex_idx=0, camera=cam)
+        assert res["recon_mesh"].vertices.shape[0] == 3 * (1 << 14)
+        assert res["cano_mesh"].vertices.shape[0] == 3 * capture.opt.max_tris
+        assert res["live_recon_mesh"].vertices.shape[0] == 3 * (1 << 14)
+        assert not bool(np.asarray(res["recon_mesh"].overflow))
         front, back = res["cano_phong"]
         assert np.asarray(front).shape == (128, 128, 3)
         # live == cano here (identity pose): meshes coincide
