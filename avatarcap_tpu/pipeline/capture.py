@@ -257,7 +257,7 @@ class CaptureOptions:
     # voxels at 512px over ~2m bounds): a 3x3 window covers them with
     # 44% fewer candidate slots; stragglers go to the exact big-tri pass
     cano_window: int = 3
-    cano_big_tris: int = 256  # the exact pass materializes (cap, H*W)
+    cano_big_tris: int = 64   # the exact pass materializes (cap, H*W)
     # intermediates — keep it small; MC triangles here are sub-2px
     # live position pass (fusion visibility): same small window as the
     # cano passes — the live mesh is the skinned MC soup, still ~1-3 px
@@ -265,7 +265,7 @@ class CaptureOptions:
     # perspective can blow up near-camera triangles. Cheaper AND more
     # exact than a plain 4x4 window (which partially rasterizes every
     # oversized triangle).
-    live_big_tris: int = 512
+    live_big_tris: int = 128
     # Candidate-buffer capacity for the index passes (0 = the raster's
     # own 2*T default). EVERY z-resolve gather/scatter walks this many
     # slots (~10 ns each on v5e), so sizing it near the measured covered
