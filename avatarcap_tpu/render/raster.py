@@ -64,6 +64,11 @@ class RasterIndex(NamedTuple):
     depth: jnp.ndarray    # (H, W)
     mask: jnp.ndarray     # (H, W)
     overflow: jnp.ndarray  # ()
+    # () int32 covered-candidate count BEFORE the capacity cut — every
+    # z-resolve gather/scatter walks max_candidates slots, so this is
+    # the number to size `max_candidates` against (see
+    # CaptureOptions.raster_max_candidates)
+    n_candidates: jnp.ndarray = None
 
 
 def interpolate(ri: RasterIndex, attrs: jnp.ndarray,
@@ -248,6 +253,7 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
         depth=out_depth.reshape(height, width),
         mask=mask.reshape(height, width),
         overflow=overflow,
+        n_candidates=n_covered,
     )
 
 
@@ -405,7 +411,7 @@ def rasterize_index_pair(clip_front: jnp.ndarray, clip_back: jnp.ndarray,
             tri=tri_of, bw=bw,
             depth=out_depth.reshape(height, width),
             mask=mask.reshape(height, width),
-            overflow=overflow))
+            overflow=overflow, n_candidates=n_covered))
     # both sides report the shared overflow flag
     return outs[0]._replace(overflow=overflow), \
         outs[1]._replace(overflow=overflow)
