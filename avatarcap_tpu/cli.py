@@ -166,6 +166,13 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
             inferred_normal=inferred_normal, neck_vertex_idx=3068,
             camera=cam)
 
+        if bool(np.asarray(results["overflow"])):
+            # a static capacity (query refine, MC tris/active, raster
+            # candidates, big-tri slots) was hit: geometry was dropped.
+            # Raise CaptureOptions capacities for this subject.
+            print(f"WARNING: frame {data_idx}: capacity overflow — "
+                  "output mesh/renders are missing geometry")
+
         # save canonical avatar render (reference main.py:372-375)
         front, back = results["cano_phong"]
         img = np.concatenate([np.asarray(front), np.asarray(back)], 1)

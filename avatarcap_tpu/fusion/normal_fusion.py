@@ -28,14 +28,16 @@ from avatarcap_tpu.render.visualize import render_cano_mesh
 
 
 @functools.partial(jax.jit, static_argnames=("img_h", "img_w", "window",
-                                             "big_tris", "max_candidates"))
+                                             "big_tris", "max_candidates",
+                                             "with_overflow"))
 def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
                        normal_map: jnp.ndarray, vert_mats: jnp.ndarray,
                        mv: jnp.ndarray, proj: jnp.ndarray,
                        fx: float, fy: float, cx: float, cy: float,
                        img_h: int, img_w: int, window: int = 4,
                        big_tris: int = 0,
-                       max_candidates: int = 0) -> jnp.ndarray:
+                       max_candidates: int = 0,
+                       with_overflow: bool = False) -> jnp.ndarray:
     """Image-space normals -> per-soup-vertex canonical normals
     (steps 1-3 of reference normal_fusion.py:12-60):
 
@@ -46,7 +48,8 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
        rotate by inv(view) then per-vertex inv(skinning) rotations.
 
     Returns (T, 3, 3) canonical-space normals (0 where invisible/invalid),
-    ready to render with the canonical mesh's index passes.
+    ready to render with the canonical mesh's index passes; with
+    ``with_overflow`` also the position pass's () bool dropped-work flag.
     """
     T = live_tris.shape[0]
     verts = live_tris.reshape(-1, 3)                      # (3T, 3)
@@ -93,7 +96,10 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
     proj_n = jnp.einsum("nij,nj->ni", inv_vert_r, proj_n,
                         precision="highest")
     proj_n = jnp.where(valid[:, None], proj_n, 0.0)
-    return proj_n.reshape(T, 3, 3)
+    out = proj_n.reshape(T, 3, 3)
+    if with_overflow:
+        return out, pos_pass.overflow
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("img_h", "img_w", "res",

@@ -534,13 +534,15 @@ class AvatarCapture:
             interpolate at the shared cano index passes (reference
             normal_fusion.py:12-63)."""
             img_h, img_w = inferred_normal.shape[:2]
-            proj_n_tris = lift_image_normals(
+            proj_n_tris, lift_ovf = lift_image_normals(
                 live_mesh.vertices.reshape(-1, 3, 3), valid,
                 inferred_normal, pt_mats.reshape(-1, 3, 4, 4), w2c, proj,
                 fx, fy, cx, cy, img_h, img_w, window=o.cano_window,
                 big_tris=o.live_big_tris,
-                max_candidates=o.raster_max_candidates)
-            return cano_interpolate(fri, bri, proj_n_tris)
+                max_candidates=o.raster_max_candidates,
+                with_overflow=True)
+            front_n, back_n = cano_interpolate(fri, bri, proj_n_tris)
+            return front_n, back_n, lift_ovf
 
         def skinning_stage(st: CaptureState, mesh: CaptureMesh, cano2live):
             """Avatar mesh -> live space (reference main.py:383-394)."""
@@ -673,6 +675,11 @@ class AvatarCapture:
             (fri, bri, front_avatar_n, back_avatar_n,
              phong) = cano_layers_stage(cano_mesh)
             live_mesh, pt_mats = skinning_stage(st, cano_mesh, jnt_mats)
+            # one aggregate dropped-work flag for the whole frame: any
+            # static capacity hit (query refine, MC tris/active cubes,
+            # raster candidates, big-triangle slots) anywhere in the
+            # program — production monitoring needs exactly one bit
+            overflow = cano_mesh.overflow | fri.overflow | bri.overflow
             results = {
                 "cano_mesh": cano_mesh,
                 "live_mesh": live_mesh,
@@ -681,9 +688,10 @@ class AvatarCapture:
                 "back_avatar_normal": back_avatar_n,
             }
             if w_recon:
-                front_img_n, back_img_n = lift_normals_stage(
+                front_img_n, back_img_n, lift_ovf = lift_normals_stage(
                     fri, bri, live_mesh, cano_mesh.valid, inferred_normal,
                     pt_mats, w2c, proj, fx, fy, cx, cy)
+                overflow = overflow | lift_ovf
                 if o.integrate_manner == "merge":
                     front_merged = merge_normal_images(
                         front_avatar_n, front_img_n, neck_xy,
@@ -695,6 +703,7 @@ class AvatarCapture:
                 recon_mesh = recon_stage(st, recon_vars, front_merged,
                                          back_merged)
                 live_recon, _ = skinning_stage(st, recon_mesh, jnt_mats)
+                overflow = overflow | recon_mesh.overflow
                 results.update({
                     "front_merged_normal": front_merged,
                     "front_image_normal": front_img_n,
@@ -710,6 +719,7 @@ class AvatarCapture:
                     results["recon_colors"] = color_transfer_stage(
                         results["recon_mesh"].vertices, cano_mesh.vertices,
                         results["avatar_colors"])
+            results["overflow"] = overflow
             return results
 
         # The staged path jits each stage separately (per-stage timing);
@@ -796,6 +806,7 @@ class AvatarCapture:
             if timer:
                 timer.observe((live_mesh, pt_mats))
 
+        overflow = cano_mesh.overflow | fri.overflow | bri.overflow
         results = {
             "cano_mesh": cano_mesh,
             "live_mesh": live_mesh,
@@ -814,11 +825,12 @@ class AvatarCapture:
                                                     gl_space=False)
             # Stage 2: normal fusion (reuses the cano index passes)
             with StageTimer.maybe(timer, "2_canonicalize_normals"):
-                front_img_n, back_img_n = self._lift_normals(
+                front_img_n, back_img_n, lift_ovf = self._lift_normals(
                     fri, bri, live_mesh, cano_mesh.valid,
                     jnp.asarray(inferred_normal), pt_mats,
                     jnp.asarray(item["w2c_RT"]), jnp.asarray(proj),
                     fx, fy, cx, cy)
+                overflow = overflow | lift_ovf
                 if timer:
                     timer.observe((front_img_n, back_img_n))
 
@@ -848,6 +860,7 @@ class AvatarCapture:
                     jnp.asarray(item["cano2live_jnt_mats"]))
                 if timer:
                     timer.observe(live_recon)
+            overflow = overflow | recon_mesh.overflow
             results.update({
                 "front_merged_normal": front_merged,
                 "front_image_normal": front_img_n,
@@ -868,6 +881,7 @@ class AvatarCapture:
                 if timer:
                     timer.observe(results["avatar_colors"])
 
+        results["overflow"] = overflow
         return results
 
     def render_live(self, live_mesh: CaptureMesh, front_mv, back_mv,

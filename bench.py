@@ -258,7 +258,14 @@ def bench_config4(env):
     for _ in range(frames):
         res = cap.process_frame(item, **kw)
     sync(res)
-    return (time.time() - t0) / frames
+    dt = (time.time() - t0) / frames
+    # honesty check: the headline only counts if no static capacity was
+    # hit anywhere in the fused program (query refine, MC, raster
+    # candidates, big-tri slots) — overflow means dropped geometry
+    ovf = bool(res["overflow"])
+    _emit("full_frame_overflow", 1.0 if ovf else 0.0, "bool",
+          0.0 if ovf else 1.0)
+    return dt
 
 
 def bench_w_nerf(env):

@@ -93,6 +93,26 @@ class TestCapture:
         capture, item, cam = capture_env
         res = capture.process_frame(item, w_recon=False, w_nerf=False)
         assert int(res["cano_mesh"].num_tris) > 100
+        # NOTE: this fixture's implicit field is an UNTRAINED random
+        # network, so its iso-surface is noise that crosses far more
+        # cells than any real body — the overflow bit is legitimately
+        # set here. The no-overflow case is asserted on the TRAINED
+        # golden subject (test_golden_capture) and on the bench body
+        # (bench.py full_frame_overflow).
+        assert "overflow" in res
+
+    def test_overflow_bit_trips_on_tight_capacities(self, capture_env):
+        """The per-frame aggregate overflow flag reports dropped work from
+        ANY static capacity (MC triangle budget here), not just the mesh
+        its own stage returns."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        opts = dataclasses.replace(capture.opt, max_tris=64, max_active=64)
+        tight = AvatarCapture(capture.avatar, capture.avatar_vars,
+                              capture.statics, capture.grid, options=opts)
+        res = tight.process_frame(item, w_recon=False, w_nerf=False)
+        assert bool(np.asarray(res["overflow"]))
 
     def test_recon_capacities_apply(self, capture_env):
         """recon_max_tris/active size the RECON mesh independently of the

@@ -125,6 +125,9 @@ def test_golden_capture(tmp_path):
     mesh = res["cano_mesh"]
     nt = int(mesh.num_tris)
     assert nt > 500, "capture produced no meaningful surface"
+    # trained field + sized capacities: no dropped work anywhere in the
+    # frame (the aggregate bit ORs query-refine/MC/raster capacities)
+    assert not bool(np.asarray(res["overflow"]))
     soup = np.asarray(mesh.vertices)[: 3 * nt]
     # deterministic 512-vertex subsample + summary
     stride = max(1, soup.shape[0] // 512)
