@@ -310,6 +310,13 @@ class CaptureOptions:
     # oversizing costs real ms (~5 ms / 256k at 57 Mpts/s). Overflow is
     # reported on the mesh.
     refine_capacity: int = 1 << 21
+    # Separate refine capacity for the RECON hierarchical query (0 =
+    # same as refine_capacity). Like recon_max_tris/active: the recon
+    # field is ~2x smoother than the wrinkled avatar template (~107k vs
+    # ~276k active cubes on the bench body), and the refine kernel runs
+    # at static capacity, so inheriting the avatar's 2M cap pays ~1M
+    # wasted decoder evaluations per frame. Overflow is reported.
+    recon_refine_capacity: int = 0
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
@@ -592,7 +599,8 @@ class AvatarCapture:
                     vol, q_ovf = hierarchical_volume(
                         vfr, g, statics.cano_bounds,
                         0.5 * (g.c_prior + 1.0), prior01, 0.5,
-                        o.hier_alpha, o.refine_capacity)
+                        o.hier_alpha,
+                        o.recon_refine_capacity or o.refine_capacity)
                 else:
                     # grid-structured pixel-aligned fetch + fused decoder
                     pf = grid_pose_features(feat_map, statics, g.vol_res,
@@ -612,7 +620,8 @@ class AvatarCapture:
                 vol, q_ovf = hierarchical_volume(
                     vfr_xla, g, statics.cano_bounds,
                     0.5 * (g.c_prior + 1.0), prior01, 0.5,
-                    o.hier_alpha, o.refine_capacity)
+                    o.hier_alpha,
+                    o.recon_refine_capacity or o.refine_capacity)
             else:
                 ov = recon_module.apply(
                     recon_vars, feat_map, g.valid_pts[None],

@@ -352,6 +352,10 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
                           recon_max_tris=min(max_tris, 1 << 19),
                           recon_max_active=min(max_active, 1 << 18),
+                          # ~107k recon active cubes x ~6.5 refine
+                          # nodes/cube (the avatar-side ratio) = ~0.7M;
+                          # 1M leaves 40% headroom, overflow guards it
+                          recon_refine_capacity=1 << 20,
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses

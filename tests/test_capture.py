@@ -136,6 +136,25 @@ class TestCapture:
         assert res["cano_mesh"].vertices.shape[0] == 3 * capture.opt.max_tris
         assert res["live_recon_mesh"].vertices.shape[0] == 3 * (1 << 14)
         assert not bool(np.asarray(res["recon_mesh"].overflow))
+
+        # a sized-down recon refine capacity (still >= the refined node
+        # count) must reproduce the recon mesh EXACTLY — the capacity
+        # only bounds how many empty slots the refine kernel walks
+        cap3 = AvatarCapture(capture.avatar, capture.avatar_vars,
+                             capture.statics, capture.grid,
+                             recon=capture.recon,
+                             recon_vars=capture.recon_vars,
+                             options=dataclasses.replace(
+                                 opts, recon_refine_capacity=1 << 16))
+        res3 = cap3.process_frame(item, w_recon=True, w_nerf=False,
+                                  inferred_normal=inferred,
+                                  neck_vertex_idx=0, camera=cam)
+        assert not bool(np.asarray(res3["recon_mesh"].overflow))
+        assert (int(res3["recon_mesh"].num_tris)
+                == int(res["recon_mesh"].num_tris))
+        np.testing.assert_array_equal(
+            np.asarray(res3["recon_mesh"].vertices),
+            np.asarray(res["recon_mesh"].vertices))
         front, back = res["cano_phong"]
         assert np.asarray(front).shape == (128, 128, 3)
         # live == cano here (identity pose): meshes coincide
