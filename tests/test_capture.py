@@ -193,6 +193,35 @@ class TestCapture:
         assert (f < 0.99).any() and (f > 0.99).any()
 
 
+class TestCapacityStats:
+    def test_counts_against_capacities(self, capture_env):
+        """tools/capacity_stats measures the data-dependent workload of
+        every static capacity; counts are positive and capacities echo
+        the options (the off-chip pre-flight for on-chip runs)."""
+        from avatarcap_tpu.tools.capacity_stats import capacity_stats
+        capture, item, cam = capture_env
+        inferred = np.zeros((128, 128, 3), np.float32)
+        inferred[32:96, 32:96] = [0.0, 0.0, -1.0]
+        stats = capacity_stats(capture, item, inferred_normal=inferred,
+                               cam=cam)
+        for key in ("avatar_refine_nodes", "avatar_active_cubes",
+                    "avatar_tris", "cano_pair_candidates",
+                    "live_pos_candidates", "recon_tris",
+                    "recon_refine_nodes", "recon_active_cubes"):
+            assert stats[key]["count"] > 0, key
+            assert stats[key]["capacity"] > 0, key
+        assert stats["avatar_tris"]["capacity"] == capture.opt.max_tris
+        assert (stats["avatar_refine_nodes"]["capacity"]
+                == capture.opt.refine_capacity)
+        # the noise-field fixture overflows MC capacity (see
+        # test_avatar_only): the measured count shows WHY the frame's
+        # aggregate bit is set
+        assert stats["frame_overflow"] is True
+        assert (stats["avatar_active_cubes"]["count"]
+                > stats["avatar_active_cubes"]["capacity"]
+                or stats["avatar_tris"]["count"] >= capture.opt.max_tris)
+
+
 class TestHierarchicalQuery:
     def test_hier_matches_flat(self, capture_env):
         """Coarse-to-fine query reproduces the brute-force surface:
