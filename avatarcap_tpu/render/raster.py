@@ -69,6 +69,10 @@ class RasterIndex(NamedTuple):
     # the number to size `max_candidates` against (see
     # CaptureOptions.raster_max_candidates)
     n_candidates: jnp.ndarray = None
+    # () int32 count of triangles routed to the exact big-triangle pass
+    # (larger than the KxK window) — sizes `big_tri_capacity`, whose
+    # (capacity, H*W) intermediates are materialized even when empty
+    n_big: jnp.ndarray = None
 
 
 def interpolate(ri: RasterIndex, attrs: jnp.ndarray,
@@ -254,6 +258,7 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
         mask=mask.reshape(height, width),
         overflow=overflow,
         n_candidates=n_covered,
+        n_big=jnp.sum(is_big).astype(jnp.int32),
     )
 
 
@@ -411,7 +416,9 @@ def rasterize_index_pair(clip_front: jnp.ndarray, clip_back: jnp.ndarray,
             tri=tri_of, bw=bw,
             depth=out_depth.reshape(height, width),
             mask=mask.reshape(height, width),
-            overflow=overflow, n_candidates=n_covered))
+            overflow=overflow, n_candidates=n_covered,
+            n_big=jnp.sum(is_big & (side if s else ~side))
+            .astype(jnp.int32)))
     # both sides report the shared overflow flag
     return outs[0]._replace(overflow=overflow), \
         outs[1]._replace(overflow=overflow)

@@ -115,6 +115,9 @@ def capacity_stats(cap, item, inferred_normal=None, cam=None,
     # (capacity defaults mirror render/raster.py:208,364)
     pair_cap = o.raster_max_candidates or max(2 * o.max_tris, 1 << 17)
     row("cano_pair_candidates", int(fri.n_candidates), pair_cap)
+    # each side runs its own exact big-triangle pass at cano_big_tris
+    row("cano_big_tris", max(int(fri.n_big), int(bri.n_big)),
+        o.cano_big_tris)
 
     if inferred_normal is None or cap.recon is None:
         return stats
@@ -137,11 +140,17 @@ def capacity_stats(cap, item, inferred_normal=None, cam=None,
                                max_candidates=o.raster_max_candidates)
     row("live_pos_candidates", int(pos_pass.n_candidates),
         o.raster_max_candidates or max(o.max_tris, 1 << 16))
+    row("live_big_tris", int(pos_pass.n_big), o.live_big_tris)
 
     # --- recon hierarchy + mesh ------------------------------------------
+    # staged path (timer) on purpose: per-stage programs compile in
+    # minutes on the CPU platform where the one fused whole-frame
+    # program would not
+    from avatarcap_tpu.utils.timers import StageTimer
     res_full = cap.process_frame(item, w_recon=True, w_nerf=False,
                                  inferred_normal=np.asarray(inferred_normal),
-                                 neck_vertex_idx=neck_vertex_idx, camera=cam)
+                                 neck_vertex_idx=neck_vertex_idx, camera=cam,
+                                 timer=StageTimer())
     recon_mesh = res_full["recon_mesh"]
     row("recon_tris", int(recon_mesh.num_tris),
         o.recon_max_tris or o.max_tris)

@@ -210,6 +210,10 @@ class TestCapacityStats:
                     "recon_refine_nodes", "recon_active_cubes"):
             assert stats[key]["count"] > 0, key
             assert stats[key]["capacity"] > 0, key
+        # big-tri counts may legitimately be 0 (sub-window MC triangles)
+        for key in ("cano_big_tris", "live_big_tris"):
+            assert stats[key]["count"] >= 0, key
+            assert stats[key]["capacity"] > 0, key
         assert stats["avatar_tris"]["capacity"] == capture.opt.max_tris
         assert (stats["avatar_refine_nodes"]["capacity"]
                 == capture.opt.refine_capacity)
