@@ -181,6 +181,17 @@ def capacity_stats(cap, item, inferred_normal=None, cam=None,
 
 
 def main():
+    import os
+
+    import jax
+
+    # The container sitecustomize force-registers the axon TPU platform
+    # OVER the JAX_PLATFORMS env var; only the programmatic update
+    # honors a requested CPU run (same dance as __graft_entry__) —
+    # without it a tunnel outage hangs the pre-flight on device init.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from avatarcap_tpu.tools.bench_workloads import build_capture_env
     from avatarcap_tpu.utils.timers import enable_compile_cache
 
