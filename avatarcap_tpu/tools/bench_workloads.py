@@ -284,8 +284,8 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
 
 
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
-                      fusion_iters=100, max_tris=(1 << 19) + (1 << 18),
-                      max_active=(1 << 18) + (1 << 17), pos_map_res=256,
+                      fusion_iters=100, max_tris=(1 << 19) + (1 << 17),
+                      max_active=(1 << 18) + (1 << 16), pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
                       fit_template: bool = True,
                       wrinkle_amp: float = 0.006):
@@ -345,17 +345,22 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                              "recon": jax.tree.map(np.asarray, recon_vars)},
                             f)
 
-    # Recon capacities: ReconNet's output is smoother than the wrinkled
-    # template (~245k tris / ~107k active measured on this body vs
-    # 554k/276k avatar-side) — 2x headroom instead of inheriting the
-    # avatar's 3x-oversized caps; overflow is asserted in bench tests.
+    # Every capacity below is sized from tools/capacity_stats.py on this
+    # body + camera (counts are data properties — measured on the CPU
+    # platform, valid on-chip) with 15-60% headroom; the frame-level
+    # overflow bit guards the sizing (bench emits full_frame_overflow).
+    # Measured: 553k avatar tris / 277k active / 1.80M refine nodes;
+    # 246k recon tris / 123k active / 225k refine nodes; 41k covered
+    # cano-pair candidates + 24k live — the candidate capacity default
+    # (2*max_tris = 1.3M) was 30x oversized, and every z-resolve
+    # gather/scatter walks it.
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
-                          recon_max_tris=min(max_tris, 1 << 19),
-                          recon_max_active=min(max_active, 1 << 18),
-                          # ~107k recon active cubes x ~6.5 refine
-                          # nodes/cube (the avatar-side ratio) = ~0.7M;
-                          # 1M leaves 40% headroom, overflow guards it
-                          recon_refine_capacity=1 << 20,
+                          recon_max_tris=min(max_tris,
+                                             (1 << 18) + (1 << 15)),
+                          recon_max_active=min(max_active,
+                                               (1 << 17) + (1 << 14)),
+                          recon_refine_capacity=1 << 18,
+                          raster_max_candidates=1 << 16,
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses
@@ -374,7 +379,15 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
         "w2c_RT": np.eye(4, dtype=np.float32),
     }
     item["w2c_RT"][2, 3] = 2.0  # camera 2 m in front, looking +z
-    cam = {"fx": 5000.0, "fy": 5000.0, "cx": 256.0, "cy": 256.0}
+    # Reference REAL-capture intrinsics: fx=fy=550 at 512^2
+    # (reference gen_data/preprocess_training_data.py:491) — the body at
+    # 2 m fills the frame and MC triangles project to ~2 px, matching
+    # the live-pass window design. (fx=5000 is the reference's far-away
+    # VISUALIZATION camera, visualize_util.py:91 — with it at 2 m only a
+    # ~20 cm patch is visible and every in-frame triangle routes to the
+    # big-tri pass: capacity_stats measured 236k big / 179 windowed
+    # candidates, i.e. a degenerate fusion workload.)
+    cam = {"fx": 550.0, "fy": 550.0, "cx": 256.0, "cy": 256.0}
     return {"capture": capture, "item": item, "cam": cam,
             "inferred_normal": inferred_normal, "n_valid": n_valid,
             "params": params, "statics": statics}
