@@ -118,9 +118,52 @@ def _trilerp_rows(vol: jnp.ndarray, pts01: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(rows * w, axis=1)
 
 
+def _trilerp_rows_grouped(vol: jnp.ndarray, pts01: jnp.ndarray,
+                          group: int) -> jnp.ndarray:
+    """Like `_trilerp_rows`, but ONE cell-row gather per GROUP of
+    `group` consecutive points, anchored at the group centroid's cell.
+
+    Row gathers dominate volume skinning (~48 ns per 512 B row on v5e,
+    DMA-latency-bound), and a marching-cubes triangle's 3 vertices lie
+    on the edges of one extraction cube — within ~9 mm of each other,
+    i.e. inside or immediately adjacent to ONE ~1 cm skinning cell. The
+    shared-cell weights for a vertex that straddles into a neighbor
+    cell are a LINEAR EXTRAPOLATION of the cell's trilinear interpolant
+    (offsets outside [0, 1]). Measured vs per-point sampling on a posed
+    body: ~0.1 mm median deviation with a ~2.5 mm tail near joints
+    (where the blended-matrix field varies on ~2 cm scales) — inside
+    the capture mesh's own half-voxel (~2.6 mm) discretization error
+    (tests/test_fast_paths.py pins both the tail and the median).
+    """
+    Gx, Gy, Gz, C = vol.shape
+    cells = jnp.concatenate(
+        [vol[dx:Gx - 1 + dx, dy:Gy - 1 + dy, dz:Gz - 1 + dz]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        axis=-1).reshape(-1, 8 * C)                   # (cells, 8C)
+    scale = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], pts01.dtype)
+    f = jnp.clip(pts01 * scale, 0.0, scale)
+    fg = f.reshape(-1, group, 3)
+    i0 = jnp.floor(fg.mean(axis=1)).astype(jnp.int32)  # centroid's cell
+    i0 = jnp.clip(i0, 0, jnp.asarray([Gx - 2, Gy - 2, Gz - 2]))
+    t = fg - i0[:, None, :].astype(f.dtype)            # (Ng, group, 3)
+    cell = (i0[:, 0] * (Gy - 1) + i0[:, 1]) * (Gz - 1) + i0[:, 2]
+    rows = cells[cell].reshape(-1, 1, 8, C)            # ONE gather/group
+    tx, ty, tz = t[..., 0:1], t[..., 1:2], t[..., 2:3]
+    w = jnp.stack([(1 - tx) * (1 - ty) * (1 - tz),
+                   (1 - tx) * (1 - ty) * tz,
+                   (1 - tx) * ty * (1 - tz),
+                   (1 - tx) * ty * tz,
+                   tx * (1 - ty) * (1 - tz),
+                   tx * (1 - ty) * tz,
+                   tx * ty * (1 - tz),
+                   tx * ty * tz], axis=2)              # (Ng, group, 8, 1)
+    return jnp.sum(rows * w, axis=2).reshape(-1, C)
+
+
 def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
                           bounds: jnp.ndarray, jnt_mats: jnp.ndarray,
-                          return_pt_mats: bool = False):
+                          return_pt_mats: bool = False,
+                          row_group: int = 1):
     """Forward-skin points with the per-subject weight volume.
 
     Args:
@@ -128,6 +171,10 @@ def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
       weight_volume: (Gx, Gy, Gz, J) from build_skin_weight_volume.
       bounds: (2, 3) the volume's world extents.
       jnt_mats: (J, 4, 4) cano->live joint transforms.
+      row_group: consecutive points sharing one matrix-row gather
+        (see `_trilerp_rows_grouped`); 1 = exact per-point sampling,
+        3 = one gather per marching-cubes triangle (~3x fewer row DMAs
+        in the capture hot path). N must be a multiple of row_group.
     """
     G = weight_volume.shape
     # blend matrices on the grid: trilinear commutes with the blend
@@ -136,7 +183,11 @@ def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
                            jnt_mats.reshape(G[-1], 16),
                            precision="highest").reshape(G[:3] + (16,))
     pts01 = (points - bounds[0]) / (bounds[1] - bounds[0])
-    pt_mats = _trilerp_rows(mat_field, pts01).reshape(-1, 4, 4)
+    if row_group > 1:
+        pt_mats = _trilerp_rows_grouped(mat_field, pts01,
+                                        row_group).reshape(-1, 4, 4)
+    else:
+        pt_mats = _trilerp_rows(mat_field, pts01).reshape(-1, 4, 4)
     out = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3], points,
                       precision="highest") + pt_mats[:, :3, 3])
     if return_pt_mats:

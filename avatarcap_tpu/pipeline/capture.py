@@ -287,6 +287,13 @@ class CaptureOptions:
     # the reference (utils/smpl_util.py:24-39) — ~30x slower per frame.
     skinning_mode: str = "volume"
     skin_voxel: float = 0.01
+    # Consecutive soup vertices sharing ONE skinning matrix-row gather
+    # (volume mode): 1 = exact per-vertex sampling, 3 = one row DMA per
+    # MC triangle — its 3 vertices sit on one extraction cube, within a
+    # single ~1 cm skinning cell, so the shared-cell weights are exact
+    # or a bounded linear extrapolation (body/skinning.py). Row DMAs
+    # dominate the skinning stage, so 3 cuts it ~3x.
+    skin_row_group: int = 1
     # 'trilinear': analytic gradient of each cube's own interpolant —
     # free (corner values already on hand in the extraction kernel);
     # 'mc_edge': Sobel node gradients interpolated along MC edges inside
@@ -396,6 +403,25 @@ class AvatarCapture:
             skin_wvol = build_skin_weight_volume(
                 statics.cano_smpl_vertices, statics.smpl_skinning_weights,
                 statics.cano_bounds, voxel=o.skin_voxel)
+            if o.skin_row_group > 1:
+                # Triangle-grouped skinning rows are only a bounded
+                # approximation when an MC triangle (~1.4 grid voxels
+                # across) fits within ~one skinning cell; on coarser
+                # grids vertices straddle several cells and the
+                # shared-cell extrapolation error grows without bound
+                # (measured: ~2.5 mm tail at 5 mm voxels vs 14 mm at
+                # 28 mm voxels on the same body).
+                span = np.asarray(statics.cano_bounds[1]
+                                  - statics.cano_bounds[0], np.float64)
+                voxel = float(np.max(span / (np.asarray(grid.vol_res)
+                                             - 1)))
+                if voxel > 1.5 * o.skin_voxel:
+                    raise ValueError(
+                        f"skin_row_group={o.skin_row_group} needs the "
+                        f"query-grid voxel ({voxel * 1000:.1f} mm) to be "
+                        f"<= 1.5x skin_voxel "
+                        f"({o.skin_voxel * 1000:.1f} mm); use "
+                        "skin_row_group=1 or a finer grid")
         else:
             skin_wvol = None
 
@@ -558,7 +584,7 @@ class AvatarCapture:
                 live_v, pt_mats = skin_points_by_volume(
                     mesh.vertices, st.skin_wvol,
                     st.statics.cano_bounds, cano2live,
-                    return_pt_mats=True)
+                    return_pt_mats=True, row_group=o.skin_row_group)
             else:
                 lbs = approx_lbs_weights(mesh.vertices,
                                          st.statics.cano_smpl_vertices,

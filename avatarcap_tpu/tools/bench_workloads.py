@@ -361,6 +361,7 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                                                (1 << 17) + (1 << 14)),
                           recon_refine_capacity=1 << 18,
                           raster_max_candidates=1 << 16,
+                          skin_row_group=3,
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses

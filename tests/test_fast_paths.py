@@ -57,6 +57,42 @@ class TestVolumeSkinning:
         m_err = np.abs(np.asarray(exact_mats) - np.asarray(fast_mats)).max()
         assert m_err < 0.05, m_err
 
+        # --- triangle-grouped row gathers (skin_row_group=3) ---------
+        # MC-triangle-like triplets: 3 points within one ~5 mm cube near
+        # the surface. The shared-cell extrapolation error is ~0.1 mm
+        # typical with a ~2.5 mm tail near joints (weight field varies
+        # on ~2 cm scales there) — inside the mesh's own half-voxel
+        # (~2.6 mm) discretization error and the fast path's 2 mm KNN
+        # tolerance above.
+        centers = v[rng.choice(len(v), 400)]
+        tri_pts = (centers[:, None, :]
+                   + 0.005 * rng.standard_normal((400, 3, 3))
+                   .astype(np.float32)).reshape(-1, 3)
+        tri_pts = jnp.asarray(tri_pts)
+        per_pt = skin_points_by_volume(tri_pts, wvol, bounds, mats)
+        grouped = skin_points_by_volume(tri_pts, wvol, bounds, mats,
+                                        row_group=3)
+        g_err = np.linalg.norm(np.asarray(per_pt) - np.asarray(grouped),
+                               axis=-1)
+        assert g_err.max() < 3e-3, (
+            f"grouped-row deviation {g_err.max():.5f} m")
+        assert np.median(g_err) < 2e-4, (
+            f"median grouped-row deviation {np.median(g_err):.5f} m")
+
+        # triplets strictly inside ONE cell: grouping is EXACT (pure
+        # interpolation, no extrapolation) up to fp tolerance
+        Gx, Gy, Gz, _ = wvol.shape
+        cell_lo = np.asarray(lo) + np.array([3, 4, 5]) * (
+            (np.asarray(hi) - np.asarray(lo))
+            / (np.array([Gx, Gy, Gz]) - 1))
+        inside = jnp.asarray(
+            cell_lo + 0.002 + 0.004 * rng.random_sample((5, 3, 3))
+        ).reshape(-1, 3).astype(jnp.float32)
+        a = skin_points_by_volume(inside, wvol, bounds, mats)
+        b = skin_points_by_volume(inside, wvol, bounds, mats, row_group=3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
 
 class TestMcEdgeNormals:
     def test_matches_sobel_sampling_on_sphere(self):
