@@ -316,7 +316,30 @@ def bench_config5(env):
     _emit("streaming_capture_fps_1chip", 1.0 / dt, "frames/s", 1.0 / dt)
 
 
+def _device_ready(timeout_s: int = 240) -> bool:
+    """Probe device initialization in a subprocess with a hard timeout.
+
+    The tunneled TPU platform HANGS inside jax.devices() when the tunnel
+    is unreachable (rather than raising), which would stall the whole
+    bench run; a bounded subprocess probe turns that into a fast,
+    reportable failure.
+    """
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_ready():
+        _emit("device_unavailable", 1.0, "bool", 0.0)
+        sys.exit(1)
+
     from avatarcap_tpu.utils.timers import enable_compile_cache
     enable_compile_cache()
 
