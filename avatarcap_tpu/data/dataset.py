@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import threading
 
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
@@ -27,7 +28,7 @@ import yaml  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from avatarcap_tpu.body.smpl import (  # noqa: E402
-    SmplParams, smpl_forward, canonical_pose)
+    SmplParams, smpl_forward_batch, canonical_pose)
 from avatarcap_tpu.data.ray_sampling import sample_rays  # noqa: E402
 from avatarcap_tpu.ops.knn import knn  # noqa: E402
 from avatarcap_tpu.ops.inside import points_inside_mesh  # noqa: E402
@@ -78,10 +79,21 @@ class AvatarCapDataset:
         self.smpl_shape = np.loadtxt(
             os.path.join(data_dir, "smpl/shape.txt")).astype(np.float32)
 
+        # ONE compiled FK program serves init, preload, and the per-item
+        # path. Eager jax FK is ~830 primitive dispatches; through the
+        # tunneled TPU runtime that is seconds of RTT per call, so every FK
+        # here goes through this jit and results are cached per pose
+        # (the reference reruns a numpy FK per item,
+        # dataset/avatarcap_dataset.py:197).
+        import jax as _jax
+        self._fk_batch = _jax.jit(lambda poses: smpl_forward_batch(
+            smpl_params, poses, jnp.asarray(self.smpl_shape)))
+        self._fk_cache = {}
+        self._fk_lock = threading.Lock()
+
         # canonical SMPL (reference :61-70)
-        cano = smpl_forward(smpl_params,
-                            jnp.asarray(canonical_pose()),
-                            jnp.asarray(self.smpl_shape))
+        cano = _jax.tree.map(
+            lambda a: a[0], self._fk_batch(canonical_pose()[None]))
         self.cano_smpl_v = np.asarray(cano.vertices)
         self.cano_smpl_jnts = np.asarray(cano.joints)
         self.inv_cano_jnt_mats = np.linalg.inv(
@@ -100,9 +112,7 @@ class AvatarCapDataset:
             pose = np.zeros(3 + 3 * J, np.float32)
             pose[3 + 16 * 3 + 2] = -math.radians(60)
             pose[3 + 17 * 3 + 2] = math.radians(60)
-            amats = np.asarray(smpl_forward(
-                smpl_params, jnp.asarray(pose),
-                jnp.asarray(self.smpl_shape)).jnt_affine_mats)
+            amats = np.asarray(self._fk_batch(pose[None]).jnt_affine_mats[0])
             self.cano2posmap_jnt_mats = amats @ self.inv_cano_jnt_mats
         else:
             raise ValueError(f"Invalid pos_map_name: {self.pos_map_name}")
@@ -197,6 +207,14 @@ class AvatarCapDataset:
                               axis=-1).astype(np.float32)
 
     def _preload_training_data(self):
+        # Warm the FK cache for every training pose with ONE device call.
+        if self.smpl_pose_list:
+            poses = np.stack([self._load_live_pose(i)
+                              for i in range(len(self.smpl_pose_list))])
+            with self._fk_lock:
+                for i, e in enumerate(self._fk_entries(poses)):
+                    self._fk_cache[i] = e
+
         self.pos_maps = []
         self.presampled_data = []
         self.data_indices = []
@@ -211,6 +229,41 @@ class AvatarCapDataset:
     def __len__(self):
         return len(self.smpl_pose_list) * self.img_num_per_pose
 
+    def _load_live_pose(self, pose_idx: int) -> np.ndarray:
+        live_pose = np.loadtxt(
+            self.smpl_pose_list[pose_idx]).astype(np.float32)
+        live_pose[3 + 22 * 3: 6 + 22 * 3] = 0.0
+        live_pose[3 + 23 * 3: 6 + 23 * 3] = 0.0
+        return live_pose
+
+    def _fk_entries(self, poses: np.ndarray):
+        """One batched device FK -> per-pose numpy cache entries."""
+        out = self._fk_batch(poses)
+        live_vs = np.asarray(out.vertices)
+        jnt_mats = np.asarray(out.jnt_affine_mats)
+        entries = []
+        for pose, live_v, mats in zip(poses, live_vs, jnt_mats):
+            cano2live = (mats @ self.inv_cano_jnt_mats).astype(np.float32)
+            live_bounds = np.stack([live_v.min(0) - 0.05,
+                                    live_v.max(0) + 0.05]).astype(np.float32)
+            entries.append((pose, live_v.astype(np.float32), cano2live,
+                            live_bounds))
+        return entries
+
+    def _live_fk(self, pose_idx: int):
+        """(live_pose, live_v, cano2live_jnt_mats, live_bounds), memoized.
+
+        Thread-safe for the prefetching loader; compute happens at most once
+        per pose (training preloads every pose in one batched call)."""
+        with self._fk_lock:
+            hit = self._fk_cache.get(pose_idx)
+        if hit is not None:
+            return hit
+        entry = self._fk_entries(
+            self._load_live_pose(pose_idx)[None])[0]
+        with self._fk_lock:
+            return self._fk_cache.setdefault(pose_idx, entry)
+
     # -- item assembly ----------------------------------------------------
 
     def __getitem__(self, index: int, rng: np.random.RandomState = None):
@@ -220,17 +273,9 @@ class AvatarCapDataset:
         view_idx = index % self.img_num_per_pose
         data_idx = self._pose_idx(self.smpl_pose_list[pose_idx])
 
-        # live SMPL (hands zeroed, reference :194-198) — device FK
-        live_pose = np.loadtxt(
-            self.smpl_pose_list[pose_idx]).astype(np.float32)
-        live_pose[3 + 22 * 3: 6 + 22 * 3] = 0.0
-        live_pose[3 + 23 * 3: 6 + 23 * 3] = 0.0
-        live = smpl_forward(self.smpl_params, jnp.asarray(live_pose),
-                            jnp.asarray(self.smpl_shape))
-        live_v = np.asarray(live.vertices)
-        cano2live = np.asarray(live.jnt_affine_mats) @ self.inv_cano_jnt_mats
-        live_bounds = np.stack([live_v.min(0) - 0.05,
-                                live_v.max(0) + 0.05]).astype(np.float32)
+        # live SMPL (hands zeroed, reference :194-198) — FK cached per pose
+        # (views of the same pose share it; the item path stays jax-free).
+        live_pose, live_v, cano2live, live_bounds = self._live_fk(pose_idx)
 
         if self.training:
             smpl_pos_map = self.pos_maps[pose_idx].copy()
@@ -256,10 +301,10 @@ class AvatarCapDataset:
         if os.path.exists(cam_path):
             import scipy.io as sio
             cam_data = sio.loadmat(cam_path)
-            aa = np.float32(cam_data["cam_rs"][view_idx])
-            from avatarcap_tpu.ops.se3 import axis_angle_to_matrix
-            w2c_RT[:3, :3] = np.asarray(
-                axis_angle_to_matrix(jnp.asarray(aa.reshape(3))))
+            aa = np.float64(cam_data["cam_rs"][view_idx]).reshape(3)
+            # host-side Rodrigues (same closed form as ops/se3); the item
+            # path must stay free of eager jax dispatches
+            w2c_RT[:3, :3] = cv.Rodrigues(aa)[0].astype(np.float32)
             w2c_RT[:3, 3] = np.float32(cam_data["cam_ts"][view_idx]).ravel()
 
         rays = sample_rays(color, mask, self.K, w2c_RT[:3, :3],
