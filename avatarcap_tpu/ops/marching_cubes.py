@@ -285,6 +285,11 @@ class Mesh(NamedTuple):
     num_tris: jnp.ndarray   # () int32
     overflow: jnp.ndarray   # () bool — true if max_tris was exceeded
     normals: jnp.ndarray = None  # (max_tris * 3, 3) unit, when requested
+    edge_ids: jnp.ndarray = None  # (max_tris * 3,) int32 global edge key
+    # per soup vertex, when requested: every soup slot that interpolates
+    # the SAME volume edge (shared MC vertex) carries the SAME id, so
+    # downstream per-vertex work (e.g. NeRF vertex colors) can dedupe
+    # ~6x without geometric hashing; -1 on padded slots
 
 
 def _corner_values(volume: jnp.ndarray) -> jnp.ndarray:
@@ -299,7 +304,8 @@ def _corner_values(volume: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("max_tris", "max_active",
-                                             "method", "gradient_normals"))
+                                             "method", "gradient_normals",
+                                             "with_edge_ids"))
 def marching_tets(volume: jnp.ndarray, iso: float,
                   bounds_min: jnp.ndarray, voxel_size: jnp.ndarray,
                   max_tris: int = 1 << 20,
@@ -307,7 +313,8 @@ def marching_tets(volume: jnp.ndarray, iso: float,
                   pad_value: float = 0.0,
                   normal_volume: jnp.ndarray = None,
                   method: str = "mc256",
-                  gradient_normals: bool = False) -> Mesh:
+                  gradient_normals: bool = False,
+                  with_edge_ids: bool = False) -> Mesh:
     """Extract the iso-surface of a dense scalar volume.
 
     Args:
@@ -339,6 +346,13 @@ def marching_tets(volume: jnp.ndarray, iso: float,
         carried). Slightly less smooth than Sobel-node normals
         (piecewise-trilinear field is C0 across cube faces) but within
         ~1 degree on smooth SDFs; ignored when normal_volume is given.
+      with_edge_ids: emit Mesh.edge_ids — the global VOLUME-EDGE key of
+        each soup vertex, ``(flat_min_node << 3) | corner_delta_code``.
+        Every soup slot interpolating the same edge (MC vertices are
+        shared by ~6 triangles) carries the same id, enabling exact
+        dedup of per-vertex downstream work. Nearly free: the node
+        coordinates and endpoint selectors are already in registers at
+        emission.
     """
     X, Y, Z = volume.shape
     nx, ny, nz = X - 1, Y - 1, Z - 1
@@ -557,6 +571,25 @@ def marching_tets(volume: jnp.ndarray, iso: float,
     tri_valid = tri_j < total_tris
     verts_out = jnp.where(tri_valid[:, None, None], world, pad_value)
 
+    edge_ids_out = None
+    if with_edge_ids:
+        # global volume-edge key per soup vertex: both emitting cubes of
+        # a shared edge see the same two global nodes, so the key is
+        # cube-independent. Node coords fit 10 bits each (packed base),
+        # flat node < X*Y*Z; key = (flat_min << 3) | delta_code < 2^31
+        # for volumes up to 2^28 nodes.
+        na = (base_t[:, None, :] + pa).astype(jnp.int32)   # (T, 3v, 3)
+        nb = (base_t[:, None, :] + pb).astype(jnp.int32)
+        nmin = jnp.minimum(na, nb)
+        d = (nb - na) != 0                                 # one/two axes
+        flat = (nmin[..., 0] * Y + nmin[..., 1]) * Z + nmin[..., 2]
+        code = (d[..., 0].astype(jnp.int32) * 4
+                + d[..., 1].astype(jnp.int32) * 2
+                + d[..., 2].astype(jnp.int32))
+        key = (flat << 3) | code
+        edge_ids_out = jnp.where(tri_valid[:, None], key,
+                                 -1).reshape(max_tris * 3)
+
     normals_out = None
     if normal_volume is None and gradient_normals:
         # analytic gradient of the cube's trilinear interpolant at the
@@ -598,7 +631,8 @@ def marching_tets(volume: jnp.ndarray, iso: float,
 
     return Mesh(vertices=verts_out.reshape(max_tris * 3, 3),
                 num_tris=jnp.minimum(total_tris, max_tris).astype(jnp.int32),
-                overflow=overflow, normals=normals_out)
+                overflow=overflow, normals=normals_out,
+                edge_ids=edge_ids_out)
 
 
 def mesh_grid_coords(vertices: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:

@@ -41,7 +41,6 @@ from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
 from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
 from avatarcap_tpu.ops.sobel import sample_volume_normals
 from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
-from avatarcap_tpu.body.skinning import skin_points
 from avatarcap_tpu.render.camera import (
     cano_front_back_mvp, gl_perspective_projection_matrix, real2gl_matrix)
 from avatarcap_tpu.render.visualize import (
@@ -94,6 +93,8 @@ class CaptureState(NamedTuple):
     skin_wvol: Any = None      # (X, Y, Z, 12+J?) packed skinning volume
     packed_query: Any = None   # pallas warp+template weights
     packed_recon: Any = None   # pallas recon decoder weights
+    packed_tex: Any = None     # pallas weights of the texture-finetuned
+    # avatar (reference main.py:307-314); None = share packed_query
 
 
 def build_grid_hierarchy(grid: CaptureGrid, cano_bounds,
@@ -235,6 +236,9 @@ class CaptureMesh(NamedTuple):
     num_tris: jnp.ndarray      # ()
     valid: jnp.ndarray         # (max_tris,) bool
     overflow: jnp.ndarray = None  # () bool: max_tris or max_active hit
+    edge_ids: jnp.ndarray = None  # (3*max_tris,) shared-vertex keys
+    # (ops/marching_cubes.Mesh.edge_ids), present when the deduped NeRF
+    # color path is enabled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,6 +285,25 @@ class CaptureOptions:
     # peak activations ~1 GB while each chunk still fills the MXU; the
     # reference chunks the same loop at 2048 (main.py:469).
     nerf_chunk: int = 16384
+    # Dedup NeRF color rays to UNIQUE mesh vertices: an MC soup slot is
+    # one corner of one triangle, but the underlying vertex (a volume-
+    # edge crossing, Mesh.edge_ids) is shared by ~6 triangles — per-slot
+    # integration redoes the same 64-sample ray ~6x (round-3's 35 s
+    # w_nerf frame). Colors are computed once per unique vertex and
+    # scattered back to every slot — EXACT for the color values (same
+    # query), with the one documented nuance that a shared vertex gets
+    # ONE representative normal for its ray instead of per-slot cube
+    # normals (sub-degree apart, tests/test_capture.py pins the rgb
+    # deviation). 0 disables (reference-shaped per-slot path). Unique
+    # count ~ num_tris/2 (closed-mesh Euler bound); overflow reported.
+    nerf_unique_capacity: int = 0
+    # Pose features along each color ray (fused path): 'lerp' = exact
+    # bilinear fetch at the ray's two endpoints + per-sample linear
+    # interpolation (the U-Net feature map is smooth over the ray's
+    # ~9 px span); 'exact' = per-sample bilinear fetch like the
+    # reference — 4 row gathers per sample, the dominant cost at
+    # millions of samples.
+    nerf_feat_mode: str = "lerp"
     use_fused_query: bool = True     # Pallas fast path for the grid query
     # 'volume': per-subject KNN-LBS weight grid + trilinear matrix
     # sampling (see body/skinning.py); 'knn': exact per-vertex KNN like
@@ -327,7 +350,8 @@ class CaptureOptions:
 
 
 def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
-                  max_active, normal_mode: str = "mc_edge"):
+                  max_active, normal_mode: str = "mc_edge",
+                  with_edge_ids: bool = False):
     """Volume -> mesh + Sobel normals (reference main.py:357-375).
 
     normal_mode 'mc_edge' interpolates Sobel node gradients along each MC
@@ -339,23 +363,24 @@ def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
     X, Y, Z = grid.vol_res
     vol = volume_flat.reshape(X, Y, Z)
     voxel = (bounds[1] - bounds[0]) / jnp.asarray([X, Y, Z], bounds.dtype)
+    kw = dict(max_tris=max_tris, max_active=max_active,
+              with_edge_ids=with_edge_ids)
     if normal_mode == "trilinear":
-        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
-                             max_active=max_active, gradient_normals=True)
+        mesh = marching_tets(vol, iso, bounds[0], voxel,
+                             gradient_normals=True, **kw)
         normals = mesh.normals
     elif normal_mode == "mc_edge":
         nvol = extract_normal_volume(vol, voxel)
-        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
-                             max_active=max_active, normal_volume=nvol)
+        mesh = marching_tets(vol, iso, bounds[0], voxel,
+                             normal_volume=nvol, **kw)
         normals = mesh.normals
     else:
-        mesh = marching_tets(vol, iso, bounds[0], voxel, max_tris=max_tris,
-                             max_active=max_active)
+        mesh = marching_tets(vol, iso, bounds[0], voxel, **kw)
         grid_coords = mesh_grid_coords(mesh.vertices, bounds)
         normals = sample_volume_normals(vol, voxel, grid_coords)
     valid = jnp.arange(max_tris) < mesh.num_tris
     return CaptureMesh(mesh.vertices, normals, mesh.num_tris, valid,
-                       mesh.overflow)
+                       mesh.overflow, mesh.edge_ids)
 
 
 class AvatarCapture:
@@ -392,6 +417,9 @@ class AvatarCapture:
         self.opt = o
         packed_query = (pack_fused_query_weights(avatar_vars)
                         if o.use_fused_query else None)
+        packed_tex = (pack_fused_query_weights(self.avatar_tex_vars)
+                      if o.use_fused_query
+                      and avatar_tex_vars is not None else None)
 
         if o.hierarchical_query and grid.c_idx is None:
             grid = build_grid_hierarchy(grid, statics.cano_bounds)
@@ -436,7 +464,8 @@ class AvatarCapture:
             grid={k: getattr(grid, k) for k in GRID_ARRAY_FIELDS
                   if getattr(grid, k) is not None},
             statics=statics, skin_wvol=skin_wvol,
-            packed_query=packed_query, packed_recon=packed_recon)
+            packed_query=packed_query, packed_recon=packed_recon,
+            packed_tex=packed_tex)
         # convenience aliases (benchmarks reach for the packed weights)
         self._packed_query = packed_query
         self._packed_recon = packed_recon
@@ -508,7 +537,8 @@ class AvatarCapture:
                     out["cano_pts_ov"][0, :, 0], mode="drop")
             mesh = _extract_mesh(vol, g, statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active,
-                                 o.normal_mode)
+                                 o.normal_mode,
+                                 with_edge_ids=o.nerf_unique_capacity > 0)
             if use_hier:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh, feat
@@ -569,7 +599,7 @@ class AvatarCapture:
             img_h, img_w = inferred_normal.shape[:2]
             proj_n_tris, lift_ovf = lift_image_normals(
                 live_mesh.vertices.reshape(-1, 3, 3), valid,
-                inferred_normal, pt_mats.reshape(-1, 3, 4, 4), w2c, proj,
+                inferred_normal, pt_mats, w2c, proj,
                 fx, fy, cx, cy, img_h, img_w, window=o.cano_window,
                 big_tris=o.live_big_tris,
                 max_candidates=o.raster_max_candidates,
@@ -578,9 +608,17 @@ class AvatarCapture:
             return front_n, back_n, lift_ovf
 
         def skinning_stage(st: CaptureState, mesh: CaptureMesh, cano2live):
-            """Avatar mesh -> live space (reference main.py:383-394)."""
+            """Avatar mesh -> live space (reference main.py:383-394).
+
+            Per-vertex matrices stay FLAT (N, 16) throughout (see
+            body/skinning.py mats16_*): a (N, 4, 4) tensor at soup scale
+            under vmap gets a 30-64x padded tiled layout and OOM'd the
+            streaming program in round 3.
+            """
+            from avatarcap_tpu.body.skinning import (
+                blend_joint_mats16, mats16_apply_points, mats16_rotate,
+                skin_points_by_volume)
             if o.skinning_mode == "volume":
-                from avatarcap_tpu.body.skinning import skin_points_by_volume
                 live_v, pt_mats = skin_points_by_volume(
                     mesh.vertices, st.skin_wvol,
                     st.statics.cano_bounds, cano2live,
@@ -589,10 +627,9 @@ class AvatarCapture:
                 lbs = approx_lbs_weights(mesh.vertices,
                                          st.statics.cano_smpl_vertices,
                                          st.statics.smpl_skinning_weights)
-                live_v, pt_mats = skin_points(mesh.vertices, lbs, cano2live,
-                                              return_pt_mats=True)
-            live_n = jnp.einsum("nij,nj->ni", pt_mats[:, :3, :3],
-                                mesh.normals, precision="highest")
+                pt_mats = blend_joint_mats16(lbs, cano2live)
+                live_v = mats16_apply_points(pt_mats, mesh.vertices)
+            live_n = mats16_rotate(pt_mats, mesh.normals)
             return CaptureMesh(live_v, live_n, mesh.num_tris, mesh.valid,
                                mesh.overflow), \
                 pt_mats
@@ -662,13 +699,11 @@ class AvatarCapture:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh
 
-        def nerf_color_stage(st: CaptureState, tex_vars, feat,
-                             frame: FrameInputs, cano_mesh: CaptureMesh):
-            """Vertex colors by integrating along -normal rays in cano
-            space (reference main.py:464-478), chunked like the
-            reference's 2048-ray loop (see CaptureOptions.nerf_chunk)."""
-            v = cano_mesh.vertices
-            n = cano_mesh.normals
+        def _nerf_ray_colors_chunked(st: CaptureState, tex_vars, feat,
+                                     frame: FrameInputs, v, n):
+            """Integrate one color ray per row of (v, n) through the XLA
+            query path, chunked like the reference's 2048-ray loop
+            (reference main.py:469; see CaptureOptions.nerf_chunk)."""
             N = v.shape[0]
             chunk = min(o.nerf_chunk, N)
             pad = (-N) % chunk
@@ -689,6 +724,143 @@ class AvatarCapture:
             rgb = jax.lax.map(body, (vp.reshape(C, chunk, 3),
                                      np_r.reshape(C, chunk, 3)))
             return rgb.reshape(-1, 3)[:N]
+
+        def _nerf_ray_colors_fused(st: CaptureState, packed_tex, feat,
+                                   v, n):
+            """Same ray integral through the fused Pallas warp+template
+            kernel (it already evaluates rgb + density in one VMEM-
+            resident pass), with reference masking semantics replicated
+            outside the kernel. Compositing runs channel-separated on
+            (rays, S) 2D arrays — a (rays, S, 4) raw tensor at capture
+            scale would take a 32x-padded tiled layout.
+            """
+            from avatarcap_tpu.ops.grid_sample import (
+                sample_feature_map_at_points)
+
+            U = v.shape[0]
+            S = o.n_samples
+            near, far = 1.0 - 0.02, 1.0 + 0.05   # depth-guided band
+            t = jnp.linspace(0.0, 1.0, S, dtype=v.dtype)
+            z = near * (1.0 - t) + far * t                     # (S,)
+            dz = jnp.concatenate([z[1:] - z[:-1],
+                                  (z[-1] - z[-2])[None]])      # (S,)
+            center = st.statics.cano_smpl_center
+            feat_nchw = jnp.moveaxis(feat, -1, 1)
+            ro = v + n
+            rd = -n
+            if o.nerf_feat_mode == "lerp":
+                ends = jnp.concatenate([ro + rd * near, ro + rd * far])
+                pf_ends = sample_feature_map_at_points(
+                    feat_nchw, (ends - center)[None])[0]
+                pf0, pf1 = pf_ends[:U], pf_ends[U:]            # (U, C)
+
+            chunk = min(o.nerf_chunk, U)
+            pad = (-U) % chunk
+            C_ = (U + pad) // chunk
+
+            def pad0(a):
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+            def body(args):
+                if o.nerf_feat_mode == "lerp":
+                    roc, rdc, p0c, p1c = args
+                else:
+                    roc, rdc = args
+                # samples, ray-major: (chunk*S, 3) built from 2D pieces
+                pts = (roc[:, None, :]
+                       + rdc[:, None, :] * z[None, :, None]).reshape(-1, 3)
+                if o.nerf_feat_mode == "lerp":
+                    w = ((z - near) / (far - near)).astype(p0c.dtype)
+                    pf = (p0c[:, None, :] * (1.0 - w)[None, :, None]
+                          + p1c[:, None, :] * w[None, :, None])
+                    pf = pf.reshape(-1, p0c.shape[-1])
+                else:
+                    pf = sample_feature_map_at_points(
+                        feat_nchw, (pts - center)[None])[0]
+                out = warp_template_query_fused(
+                    packed_tex["offset"], packed_tex["template"], pts, pf)
+                # masking (reference arch_avatar.py:190-229): near flag
+                # on the PRE-warp sample, bounds on the WARPED point
+                d2, _ = knn(pts, st.statics.cano_smpl_vertices, k=1)
+                near_ok = d2[:, 0] < 0.08 * 0.08
+                wpts = pts + out["offset"]
+                inside = jnp.all(
+                    (wpts > st.statics.cano_bounds[0])
+                    & (wpts < st.statics.cano_bounds[1]), axis=-1)
+                sigma = jnp.where(inside & near_ok, out["alpha"][:, 0], 0.0)
+                alpha = 1.0 - jnp.exp(
+                    -sigma.reshape(-1, S) * dz[None, :])       # (chunk, S)
+                # exclusive transmittance (ops/volume_render.raw2outputs)
+                trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+                trans = jnp.concatenate(
+                    [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+                wts = alpha * trans
+                rgb = out["rgb"].reshape(-1, S, 3)
+                return jnp.einsum("rs,rsc->rc", wts, rgb)
+
+            args = ((pad0(ro).reshape(C_, chunk, 3),
+                     pad0(rd).reshape(C_, chunk, 3),
+                     pad0(pf0).reshape(C_, chunk, -1),
+                     pad0(pf1).reshape(C_, chunk, -1))
+                    if o.nerf_feat_mode == "lerp" else
+                    (pad0(ro).reshape(C_, chunk, 3),
+                     pad0(rd).reshape(C_, chunk, 3)))
+            rgb = jax.lax.map(body, args)
+            return rgb.reshape(-1, 3)[:U]
+
+        def nerf_color_stage(st: CaptureState, tex_vars, feat,
+                             frame: FrameInputs, cano_mesh: CaptureMesh):
+            """Vertex colors by integrating along -normal rays in cano
+            space (reference main.py:464-478).
+
+            With nerf_unique_capacity > 0 the soup is deduped to unique
+            mesh vertices first (CaptureOptions.nerf_unique_capacity):
+            one ray per volume-edge crossing instead of ~6 per-slot
+            repeats, colors scattered back to every slot. Returns
+            (colors (3*max_tris, 3), overflow ()).
+            """
+            v = cano_mesh.vertices
+            n = cano_mesh.normals
+            N = v.shape[0]
+            U = o.nerf_unique_capacity
+            if not U or cano_mesh.edge_ids is None:
+                rgb = _nerf_ray_colors_chunked(st, tex_vars, feat, frame,
+                                               v, n)
+                return rgb, jnp.zeros((), bool)
+
+            # --- dedup by volume-edge key (sort + segment scan) -------
+            imax = jnp.iinfo(jnp.int32).max
+            valid_v = jnp.repeat(cano_mesh.valid, 3) \
+                & (cano_mesh.edge_ids >= 0)
+            ids = jnp.where(valid_v, cano_mesh.edge_ids, imax)
+            order = jnp.argsort(ids)                      # (3T,)
+            sid = ids[order]
+            newf = jnp.concatenate([jnp.ones((1,), bool),
+                                    sid[1:] != sid[:-1]])
+            seg = jnp.cumsum(newf.astype(jnp.int32)) - 1  # unique index
+            vsort = sid != imax
+            n_unique = jnp.max(jnp.where(vsort, seg + 1, 0))
+            nerf_ovf = n_unique > U
+            # representative soup slot per unique vertex (first in sort
+            # order); unique slots past capacity / padding drop
+            rep = jnp.zeros((U,), jnp.int32).at[
+                jnp.where(newf & vsort, seg, U)].set(order, mode="drop")
+            # per-soup-slot unique index (clamped into capacity)
+            uo = jnp.zeros((N,), jnp.int32).at[order].set(
+                jnp.minimum(seg, U - 1))
+
+            v_u = v[rep]
+            n_u = n[rep]
+            if o.use_fused_query:
+                packed_tex = st.packed_tex or st.packed_query
+                rgb_u = _nerf_ray_colors_fused(st, packed_tex, feat,
+                                               v_u, n_u)
+            else:
+                rgb_u = _nerf_ray_colors_chunked(st, tex_vars, feat,
+                                                 frame, v_u, n_u)
+            rgb = rgb_u[uo]
+            rgb = jnp.where(valid_v[:, None], rgb, 0.0)
+            return rgb, nerf_ovf
 
         def color_transfer_stage(recon_verts, avatar_verts, avatar_colors):
             """NN color transfer (reference main.py:480-485)."""
@@ -746,8 +918,9 @@ class AvatarCapture:
                     "live_recon_mesh": live_recon,
                 })
             if w_nerf:
-                colors = nerf_color_stage(st, tex_vars, feat, frame,
-                                          cano_mesh)
+                colors, nerf_ovf = nerf_color_stage(st, tex_vars, feat,
+                                                    frame, cano_mesh)
+                overflow = overflow | nerf_ovf
                 # bgr->rgb (ref :477)
                 results["avatar_colors"] = colors[..., ::-1]
                 if w_recon:
@@ -905,8 +1078,10 @@ class AvatarCapture:
 
         if w_nerf:
             with StageTimer.maybe(timer, "4_nerf_colors"):
-                colors = self._nerf_color(self.state, self.avatar_tex_vars,
-                                          feat, frame, cano_mesh)
+                colors, nerf_ovf = self._nerf_color(
+                    self.state, self.avatar_tex_vars, feat, frame,
+                    cano_mesh)
+                overflow = overflow | nerf_ovf
                 # bgr->rgb (ref :477)
                 results["avatar_colors"] = colors[..., ::-1]
                 if w_recon:

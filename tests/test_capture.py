@@ -177,6 +177,40 @@ class TestCapture:
         colors = np.asarray(res["avatar_colors"])
         assert np.all(colors >= 0) and np.all(colors <= 1)
 
+    def test_nerf_dedup_matches_per_slot(self, capture_env):
+        """nerf_unique_capacity: one ray per UNIQUE mesh vertex, colors
+        scattered back to slots. Same queries as the per-slot path except
+        the ray normal is one shared-vertex representative instead of
+        each slot's per-cube normal (sub-degree apart) — colors must
+        agree to that approximation, and slots sharing a vertex must get
+        IDENTICAL colors."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        opts = dataclasses.replace(capture.opt,
+                                   nerf_unique_capacity=1 << 15)
+        cap2 = AvatarCapture(capture.avatar, capture.avatar_vars,
+                             capture.statics, capture.grid, options=opts)
+        res_d = cap2.process_frame(item, w_recon=False, w_nerf=True)
+        res_s = capture.process_frame(item, w_recon=False, w_nerf=True)
+        mesh = res_d["cano_mesh"]
+        n3 = 3 * int(mesh.num_tris)
+        cd = np.asarray(res_d["avatar_colors"])[:n3]
+        cs = np.asarray(res_s["avatar_colors"])[:n3]
+        ids = np.asarray(mesh.edge_ids)[:n3]
+        # identical colors within a shared vertex
+        order = np.argsort(ids, kind="stable")
+        same = ids[order][1:] == ids[order][:-1]
+        dvc = np.abs(cd[order][1:] - cd[order][:-1]).max(-1)
+        assert dvc[same].max() == 0.0
+        # agreement with the per-slot path up to the representative-
+        # normal approximation
+        dev = np.abs(cd - cs).max(-1)
+        assert np.median(dev) < 5e-3, float(np.median(dev))
+        assert dev.mean() < 2e-2, float(dev.mean())
+        assert not bool(np.asarray(res_d["overflow"])) or \
+            bool(np.asarray(res_s["overflow"]))  # dedup adds no overflow
+
     def test_render_live(self, capture_env):
         from avatarcap_tpu.render.camera import calc_front_mv, calc_back_mv
         capture, item, cam = capture_env

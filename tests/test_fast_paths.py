@@ -54,7 +54,10 @@ class TestVolumeSkinning:
                                                 return_pt_mats=True)
         err = np.linalg.norm(np.asarray(exact) - np.asarray(fast), axis=-1)
         assert err.max() < 2e-3, f"max skinning deviation {err.max():.4f} m"
-        m_err = np.abs(np.asarray(exact_mats) - np.asarray(fast_mats)).max()
+        # fast path returns FLAT (N, 16) mats (body/skinning.py mats16)
+        assert fast_mats.shape == (pts.shape[0], 16)
+        m_err = np.abs(np.asarray(exact_mats).reshape(-1, 16)
+                       - np.asarray(fast_mats)).max()
         assert m_err < 0.05, m_err
 
         # --- triangle-grouped row gathers (skin_row_group=3) ---------
@@ -92,6 +95,45 @@ class TestVolumeSkinning:
         b = skin_points_by_volume(inside, wvol, bounds, mats, row_group=3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+class TestMats16:
+    def test_flat_mat_helpers_match_dense(self, rng):
+        """mats16_* channel-slice math == dense (N, 4, 4) linalg
+        (the flat layout exists so no trailing-(4,4) tensor is ever
+        materialized at soup scale — round-3 streaming OOM)."""
+        from avatarcap_tpu.body.skinning import (
+            blend_joint_mats, blend_joint_mats16, mats16_apply_points,
+            mats16_rotate, mats16_inv_rotate)
+
+        J, N = 7, 64
+        jm = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
+        from scipy.spatial.transform import Rotation
+        for j in range(J):
+            jm[j, :3, :3] = Rotation.from_rotvec(
+                0.4 * rng.standard_normal(3)).as_matrix()
+            jm[j, :3, 3] = 0.1 * rng.standard_normal(3)
+        lbs = rng.random_sample((N, J)).astype(np.float32)
+        lbs /= lbs.sum(-1, keepdims=True)
+        pts = rng.standard_normal((N, 3)).astype(np.float32)
+        vecs = rng.standard_normal((N, 3)).astype(np.float32)
+        jm, lbs_j, pts_j, vecs_j = map(jnp.asarray, (jm, lbs, pts, vecs))
+
+        dense = np.asarray(blend_joint_mats(lbs_j, jm))       # (N, 4, 4)
+        m16 = blend_joint_mats16(lbs_j, jm)
+        np.testing.assert_allclose(np.asarray(m16),
+                                   dense.reshape(-1, 16), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mats16_apply_points(m16, pts_j)),
+            np.einsum("nij,nj->ni", dense[:, :3, :3], pts)
+            + dense[:, :3, 3], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(mats16_rotate(m16, vecs_j)),
+            np.einsum("nij,nj->ni", dense[:, :3, :3], vecs), atol=1e-5)
+        inv = np.linalg.inv(dense[:, :3, :3])
+        np.testing.assert_allclose(
+            np.asarray(mats16_inv_rotate(m16, vecs_j)),
+            np.einsum("nij,nj->ni", inv, vecs), atol=1e-4)
 
 
 class TestMcEdgeNormals:

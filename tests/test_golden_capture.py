@@ -114,14 +114,23 @@ def test_golden_capture(tmp_path):
         vol_res=vol_res)
     options = CaptureOptions(max_tris=1 << 16, max_active=1 << 14,
                              render_res=64, fusion_iters=2, n_samples=2)
+    from avatarcap_tpu.models.recon import ReconNetwork
+    recon = ReconNetwork()
+    recon_vars = jax.jit(recon.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 6)),
+        jnp.zeros((1, 8, 3)), jnp.zeros((1, 3)))
     capture = AvatarCapture(module, trained_vars, statics, grid,
+                            recon=recon, recon_vars=recon_vars,
                             options=options)
-    res = capture.process_frame(
-        {"live_smpl_v": np.asarray(statics.cano_smpl_vertices),
-         "cano2live_jnt_mats": np.tile(np.eye(4, dtype=np.float32),
-                                       (params.num_joints, 1, 1)),
-         "smpl_pos_map": item0["smpl_pos_map"]},
-        w_recon=False, w_nerf=False)
+    item = {
+        "live_smpl_v": np.asarray(statics.cano_smpl_vertices),
+        "cano2live_jnt_mats": np.tile(np.eye(4, dtype=np.float32),
+                                      (params.num_joints, 1, 1)),
+        "smpl_pos_map": item0["smpl_pos_map"],
+        "w2c_RT": np.eye(4, dtype=np.float32),
+    }
+    item["w2c_RT"][2, 3] = 2.0
+    res = capture.process_frame(item, w_recon=False, w_nerf=False)
     mesh = res["cano_mesh"]
     nt = int(mesh.num_tris)
     assert nt > 500, "capture produced no meaningful surface"
@@ -135,18 +144,55 @@ def test_golden_capture(tmp_path):
     bbox = np.stack([soup.min(0), soup.max(0)]).astype(np.float32)
     voxel = float((hi - lo).max() / max(vol_res))
 
-    if not os.path.exists(FIXTURE) or os.environ.get(
-            "AVATARCAP_UPDATE_GOLDEN"):
+    # stages 2-3 (VERDICT r3 item 9): run the w_recon tail once — lifted
+    # image normals -> fusion merge -> ReconNet -> second MC — and pin
+    # the fused front normal image and the recon mesh sample so drift in
+    # those stages (not just train -> stage 1) is caught between rounds.
+    # The recon net is a SEEDED random init (no released ckpt in this
+    # environment): its iso-surface is a deterministic function of the
+    # fused normals + decoder weights, which is exactly what a drift
+    # guard needs; quality is asserted elsewhere (chained parity).
+    inferred = np.zeros((64, 64, 3), np.float32)
+    inferred[16:48, 16:48] = [0.0, 0.0, -1.0]
+    cam = {"fx": 100.0, "fy": 100.0, "cx": 32.0, "cy": 32.0}
+    res_r = capture.process_frame(item, w_recon=True, w_nerf=False,
+                                  inferred_normal=inferred,
+                                  neck_vertex_idx=0, camera=cam)
+    fused = np.asarray(res_r["front_merged_normal"]).astype(np.float32)
+    lifted = np.asarray(res_r["front_image_normal"]).astype(np.float32)
+    # 8x8-block means: stable under op reordering, sensitive to drift
+    fused8 = fused.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    lifted8 = lifted.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    rmesh = res_r["recon_mesh"]
+    r_nt = int(rmesh.num_tris)
+    r_soup = np.asarray(rmesh.vertices)[: 3 * r_nt]
+    r_stride = max(1, max(r_soup.shape[0], 1) // 512)
+    r_sample = r_soup[::r_stride][:512].astype(np.float32)
+
+    gold = np.load(FIXTURE) if os.path.exists(FIXTURE) else None
+    stale = gold is not None and "recon_num_tris" not in gold
+    if gold is None or stale or os.environ.get("AVATARCAP_UPDATE_GOLDEN"):
         os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
-        np.savez_compressed(FIXTURE, num_tris=nt, sample=sample, bbox=bbox)
+        np.savez_compressed(FIXTURE, num_tris=nt, sample=sample, bbox=bbox,
+                            fused8=fused8, lifted8=lifted8,
+                            recon_num_tris=r_nt, recon_sample=r_sample)
         if not os.environ.get("AVATARCAP_UPDATE_GOLDEN"):
-            pytest.fail(f"golden fixture was missing; wrote {FIXTURE} — "
-                        "inspect and commit it")
+            pytest.fail(f"golden fixture was missing or pre-recon; wrote "
+                        f"{FIXTURE} — inspect and commit it")
         return
 
-    gold = np.load(FIXTURE)
     g_nt = int(gold["num_tris"])
     assert abs(nt - g_nt) <= max(64, int(0.10 * g_nt)), (nt, g_nt)
     np.testing.assert_allclose(bbox, gold["bbox"], atol=2 * voxel)
     ch = _chamfer(sample, gold["sample"])
     assert ch < 1.5 * voxel, (ch, voxel)
+    # fusion: block means within a small absolute band (normals in
+    # [-1, 1]; the 2-iter Adam merge is deterministic)
+    np.testing.assert_allclose(fused8, gold["fused8"], atol=0.05)
+    np.testing.assert_allclose(lifted8, gold["lifted8"], atol=0.05)
+    g_rnt = int(gold["recon_num_tris"])
+    assert abs(r_nt - g_rnt) <= max(64, int(0.15 * max(g_rnt, 1))), (
+        r_nt, g_rnt)
+    if r_nt > 0 and g_rnt > 0:
+        r_ch = _chamfer(r_sample, gold["recon_sample"])
+        assert r_ch < 1.5 * voxel, (r_ch, voxel)

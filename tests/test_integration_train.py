@@ -129,6 +129,26 @@ class TestTrainingLoop:
                         jax.tree.leaves(state2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_device_batches_match_host_batches(self, subject_dir):
+        """device_batches (per-pose constants cached on device, async
+        next-batch upload) yields EXACTLY the host batches() content for
+        the same seed — it is a transport optimization, not a different
+        sampler."""
+        from avatarcap_tpu.data.dataset import AvatarCapDataset
+
+        out, params = subject_dir
+        ds = AvatarCapDataset(out, training=True, smpl_params=params)
+        host = list(ds.batches(2, shuffle=True, seed=7, num_workers=2))
+        dev = list(ds.device_batches(2, shuffle=True, seed=7,
+                                     num_workers=2))
+        assert len(host) == len(dev) > 0
+        for hb, db in zip(host, dev):
+            assert set(hb.keys()) == set(db.keys()), (
+                set(hb) ^ set(db))
+            for k, v in hb.items():
+                np.testing.assert_allclose(
+                    np.asarray(db[k]), v, atol=1e-6, err_msg=k)
+
     def test_loss_decreases_on_repeated_batch(self, subject_dir, tmp_path):
         """Overfit sanity: repeated identical batch => total loss drops."""
         from avatarcap_tpu.data.dataset import AvatarCapDataset

@@ -180,3 +180,35 @@ class TestGradientNormals:
         radial /= np.linalg.norm(radial, axis=-1, keepdims=True)
         cos = (nm * radial).sum(-1)
         assert cos.mean() > 0.99, cos.mean()  # outward, near-radial
+
+
+class TestEdgeIds:
+    def test_shared_vertices_share_ids(self):
+        """edge_ids: slots at the SAME position get the SAME id, distinct
+        positions distinct ids (the dedup contract of the NeRF color
+        path); unique count obeys the Euler bound V ~ T/2 + 2."""
+        sdf, bounds, voxel = sphere_volume()
+        mesh = marching_tets(jnp.asarray(sdf), 0.0, jnp.asarray(bounds[0]),
+                             jnp.asarray(voxel), max_tris=1 << 17,
+                             max_active=1 << 15, with_edge_ids=True)
+        n = int(mesh.num_tris)
+        ids = np.asarray(mesh.edge_ids)
+        v = np.asarray(mesh.vertices)
+        assert (ids[3 * n:] == -1).all()
+        ids = ids[: 3 * n]
+        v = v[: 3 * n]
+        assert (ids >= 0).all()
+        # group by id: all positions within a group identical
+        order = np.argsort(ids, kind="stable")
+        sid, sv = ids[order], v[order]
+        same = sid[1:] == sid[:-1]
+        dv = np.linalg.norm(sv[1:] - sv[:-1], axis=-1)
+        # ulp-level only: two cubes may traverse the edge in opposite
+        # endpoint order (tt vs 1-tt)
+        assert dv[same].max() < 1e-6, "same id, different position"
+        # distinct ids are (almost always) geometrically distinct points
+        assert (dv[~same] > 1e-7).mean() > 0.999
+        n_unique = len(np.unique(ids))
+        assert n_unique == int(same.size + 1 - same.sum())
+        # closed surface: V = T/2 + 2
+        assert abs(n_unique - (n / 2 + 2)) < 3

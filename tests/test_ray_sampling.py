@@ -108,6 +108,15 @@ class TestSampleRays:
         c = out["coord"]
         np.testing.assert_allclose(out["rgb"], img[c[:, 0], c[:, 1]],
                                    atol=1e-6)
+        # ray_o/ray_d correspond to the SAME pixels as coord: the sparse
+        # path maintains coord<->ray alignment by index bookkeeping, so
+        # pin it against the dense get_rays values at those pixels
+        from avatarcap_tpu.ops.rays import get_rays
+        ro_d, rd_d = get_rays(*img.shape[:2], K, R, T.reshape(3), xp=np)
+        np.testing.assert_allclose(out["ray_d"],
+                                   rd_d[c[:, 0], c[:, 1]], atol=1e-5)
+        np.testing.assert_allclose(out["ray_o"],
+                                   ro_d[c[:, 0], c[:, 1]], atol=1e-5)
         # deterministic under a fixed RandomState
         out2 = sample_rays(img, msk, K, R, T, bounds, nrays=256,
                            rng=np.random.RandomState(3))
