@@ -485,7 +485,8 @@ class AvatarCapture:
             col_of = lambda fidx: fidx // _Z  # noqa: E731
 
         def avatar_geometry_stage(st: CaptureState, avatar_vars,
-                                  frame: FrameInputs):
+                                  frame: FrameInputs,
+                                  want_edge_ids: bool = False):
             g = grid_static._replace(**st.grid)
             statics = st.statics
             feat, _ = compute_pose_features(avatar_module, avatar_vars,
@@ -538,7 +539,8 @@ class AvatarCapture:
             mesh = _extract_mesh(vol, g, statics.cano_bounds,
                                  o.iso_value, o.max_tris, o.max_active,
                                  o.normal_mode,
-                                 with_edge_ids=o.nerf_unique_capacity > 0)
+                                 with_edge_ids=want_edge_ids
+                                 and o.nerf_unique_capacity > 0)
             if use_hier:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh, feat
@@ -878,7 +880,8 @@ class AvatarCapture:
             frame axis by pipeline/streaming.py, and shared by the
             per-stage profiled path.
             """
-            cano_mesh, feat = avatar_geometry_stage(st, avatar_vars, frame)
+            cano_mesh, feat = avatar_geometry_stage(
+                st, avatar_vars, frame, want_edge_ids=w_nerf)
             (fri, bri, front_avatar_n, back_avatar_n,
              phong) = cano_layers_stage(cano_mesh)
             live_mesh, pt_mats = skinning_stage(st, cano_mesh, jnt_mats)
@@ -933,7 +936,8 @@ class AvatarCapture:
         # The staged path jits each stage separately (per-stage timing);
         # the fused frame jits frame_body whole — one dispatch, XLA
         # overlaps stages. Both call the SAME plain stage functions.
-        self._avatar_geometry = jax.jit(avatar_geometry_stage)
+        self._avatar_geometry = jax.jit(
+            avatar_geometry_stage, static_argnames=("want_edge_ids",))
         self._cano_layers = jax.jit(cano_layers_stage)
         self._lift_normals = jax.jit(lift_normals_stage)
         self._skinning = jax.jit(skinning_stage)
@@ -998,8 +1002,8 @@ class AvatarCapture:
 
         # Stage 1: avatar geometry
         with StageTimer.maybe(timer, "1_grid_query_mc"):
-            cano_mesh, feat = self._avatar_geometry(self.state,
-                                                    self.avatar_vars, frame)
+            cano_mesh, feat = self._avatar_geometry(
+                self.state, self.avatar_vars, frame, want_edge_ids=w_nerf)
             if timer:
                 timer.observe((cano_mesh, feat))
         with StageTimer.maybe(timer, "1_cano_renders"):

@@ -89,7 +89,7 @@ def preflight(which=("frame", "nerf", "stream")) -> list:
     if "stream" in which:
         from avatarcap_tpu.parallel.mesh import make_mesh
         from avatarcap_tpu.pipeline.streaming import StreamingCapture
-        fpd = int(os.environ.get("BENCH_STREAM_BATCH", "2"))
+        fpd = int(os.environ.get("BENCH_STREAM_BATCH", "4"))
         mesh = make_mesh(jax.devices()[:1])
         stream = StreamingCapture(cap, mesh, camera=cam,
                                   image_size=(img_h, img_w), w_recon=True,

@@ -163,6 +163,7 @@ class TestCapture:
             np.asarray(res["live_mesh"].vertices[:n]),
             np.asarray(res["cano_mesh"].vertices[:n]), atol=1e-4)
 
+    @pytest.mark.slow
     def test_full_recon_and_nerf(self, capture_env):
         capture, item, cam = capture_env
         normal_img = np.zeros((128, 128, 3), np.float32)
@@ -177,6 +178,7 @@ class TestCapture:
         colors = np.asarray(res["avatar_colors"])
         assert np.all(colors >= 0) and np.all(colors <= 1)
 
+    @pytest.mark.slow
     def test_nerf_dedup_matches_per_slot(self, capture_env):
         """nerf_unique_capacity: one ray per UNIQUE mesh vertex, colors
         scattered back to slots. Same queries as the per-slot path except
@@ -228,6 +230,7 @@ class TestCapture:
 
 
 class TestCapacityStats:
+    @pytest.mark.slow
     def test_counts_against_capacities(self, capture_env):
         """tools/capacity_stats measures the data-dependent workload of
         every static capacity; counts are positive and capacities echo
@@ -261,6 +264,7 @@ class TestCapacityStats:
 
 
 class TestHierarchicalQuery:
+    @pytest.mark.slow
     def test_hier_matches_flat(self, capture_env):
         """Coarse-to-fine query reproduces the brute-force surface:
         near-zero Chamfer between the two avatar meshes."""

@@ -15,6 +15,7 @@ import pytest
 from conftest import make_toy_smpl_params
 
 
+@pytest.mark.slow
 def test_cli_test_mode(tmp_path, monkeypatch):
     import jax
     import jax.numpy as jnp

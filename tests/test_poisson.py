@@ -41,6 +41,7 @@ class TestPoissonReconstruct:
         zfrac = verts[:, 2] / np.maximum(rad, 1e-9)
         assert (zfrac > 0.9).sum() > 50, "Poisson should close the cap"
 
+    @pytest.mark.slow
     def test_quantified_vs_tsdf(self, rng):
         """The comparison VERDICT asked for: Poisson vs the TSDF
         substitute on the same cloud, error measured to ground truth."""
