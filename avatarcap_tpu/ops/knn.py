@@ -19,10 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int):
+def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int,
+               precision: str = "highest"):
     """q: (C, 3), db: (M, 3), db_sq: (M,) -> dists (C, k), idx (C, k)."""
     # |q - v|^2 = |q|^2 - 2 q.v + |v|^2 ; the cross term is a matmul (MXU).
-    cross = jnp.matmul(q, db.T, precision="highest")  # (C, M)
+    cross = jnp.matmul(q, db.T, precision=precision)  # (C, M)
     d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * cross + db_sq[None, :]
     if k == 1:
         # one reduce pass — lax.top_k lowers to a full stable sort on TPU,
@@ -33,9 +34,9 @@ def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int):
     return jnp.maximum(-neg, 0.0), idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "precision"))
 def knn(queries: jnp.ndarray, database: jnp.ndarray, k: int = 1,
-        chunk: int = 16384):
+        chunk: int = 16384, precision: str = "highest"):
     """K nearest database points for each query point.
 
     The KNN result (indices, thresholded distances) is not differentiable
@@ -50,6 +51,12 @@ def knn(queries: jnp.ndarray, database: jnp.ndarray, k: int = 1,
       chunk: query tile size (static). N is padded up to a multiple; tiles
         stream through lax.map so the (chunk, M) distance tile bounds peak
         memory even when the caller vmaps over a batch.
+      precision: matmul precision for the cross term. "highest" (f32,
+        6 MXU passes) resolves sub-mm neighbor ties exactly; "high"
+        (bf16x3, ~1e-6 relative ~ um^2 error at meter-scale coords) is
+        2x cheaper and still orders-of-magnitude below vertex spacing —
+        used by the color-transfer path where the K=3 matmul passes ARE
+        the cost (measured 18.9 s at capture scale before the r4 rework).
     Returns:
       dists: (N, k) squared distances (ascending), idx: (N, k) int32.
     """
@@ -58,12 +65,12 @@ def knn(queries: jnp.ndarray, database: jnp.ndarray, k: int = 1,
     N = queries.shape[0]
     db_sq = jnp.sum(database * database, axis=-1)
     if N <= chunk:
-        return _knn_chunk(queries, database, db_sq, k)
+        return _knn_chunk(queries, database, db_sq, k, precision)
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     qp = qp.reshape(-1, chunk, 3)
     dists, idx = jax.lax.map(
-        lambda q: _knn_chunk(q, database, db_sq, k), qp)
+        lambda q: _knn_chunk(q, database, db_sq, k, precision), qp)
     return dists.reshape(-1, k)[:N], idx.reshape(-1, k)[:N]
 
 
@@ -93,3 +100,64 @@ def approx_lbs_weights(points: jnp.ndarray, smpl_vertices: jnp.ndarray,
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-16)
     lbs = skinning_weights[idx]  # (N, K, J)
     return jnp.sum(lbs * w[..., None], axis=-2)
+
+
+def near_distance_volume(smpl_vertices: jnp.ndarray, bounds,
+                         voxel: float = 0.025):
+    """Distance-to-SMPL-surface sampled on a regular canonical grid.
+
+    The reference evaluates the <8 cm "near body" flag with an exact KNN
+    per query point (network/arch_avatar.py:190-191). Inside the fused
+    NeRF color integral that is millions of per-sample KNNs per frame
+    (measured ~1.7 s/frame at capture scale); the distance field is
+    1-Lipschitz, so a ~2.5 cm grid + trilinear interpolation reproduces
+    it to well under a voxel — the same discretization the reference
+    itself accepts for its LBS weight volume
+    (gen_data/preprocess_training_data.py:426-463, 2.5 cm voxels).
+
+    Returns (vol (X, Y, Z) float32 distances in meters, res tuple).
+    Grid node (i, j, k) sits at lo + [i, j, k] / (n - 1) * (hi - lo)
+    (align_corners layout, matching `sample_distance_volume`).
+    """
+    import numpy as np
+    lo = np.asarray(bounds[0], np.float64)
+    hi = np.asarray(bounds[1], np.float64)
+    res = tuple(int(max(2, np.ceil((hi[a] - lo[a]) / voxel)) + 1)
+                for a in range(3))
+    lin = [jnp.linspace(lo[a], hi[a], res[a]).astype(jnp.float32)
+           for a in range(3)]
+    pts = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+    d2, _ = knn(pts, smpl_vertices, k=1, chunk=65536)
+    return jnp.sqrt(d2[:, 0]).reshape(res), res
+
+
+def sample_distance_volume(vol: jnp.ndarray, pts: jnp.ndarray,
+                           bounds) -> jnp.ndarray:
+    """Trilinear sample of a `near_distance_volume` at (N, 3) points.
+
+    Points outside the bounds clamp to the border (they are >8 cm from
+    the body by construction of the canonical bounds, so the flag they
+    produce is correct anyway).
+    """
+    lo, hi = bounds[0], bounds[1]
+    n = jnp.asarray(vol.shape, pts.dtype)
+    f = (pts - lo) / (hi - lo) * (n - 1.0)        # node coordinates
+    f = jnp.clip(f, 0.0, n - 1.0)
+    f0 = jnp.floor(jnp.minimum(f, n - 2.0))
+    w = f - f0                                     # (N, 3)
+    i0 = f0.astype(jnp.int32)
+    X, Y, Z = vol.shape
+    flat = vol.reshape(-1)
+
+    def at(dx, dy, dz):
+        idx = ((i0[:, 0] + dx) * Y + (i0[:, 1] + dy)) * Z + (i0[:, 2] + dz)
+        return flat[idx]
+
+    wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
+    c00 = at(0, 0, 0) * (1 - wz) + at(0, 0, 1) * wz
+    c01 = at(0, 1, 0) * (1 - wz) + at(0, 1, 1) * wz
+    c10 = at(1, 0, 0) * (1 - wz) + at(1, 0, 1) * wz
+    c11 = at(1, 1, 0) * (1 - wz) + at(1, 1, 1) * wz
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wx) + c1 * wx

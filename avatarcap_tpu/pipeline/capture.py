@@ -95,6 +95,9 @@ class CaptureState(NamedTuple):
     packed_recon: Any = None   # pallas recon decoder weights
     packed_tex: Any = None     # pallas weights of the texture-finetuned
     # avatar (reference main.py:307-314); None = share packed_query
+    near_d_vol: Any = None     # (X, Y, Z) distance-to-SMPL grid over
+    # cano_bounds (ops/knn.near_distance_volume), present when
+    # CaptureOptions.near_flag_mode == 'volume'
 
 
 def build_grid_hierarchy(grid: CaptureGrid, cano_bounds,
@@ -304,6 +307,29 @@ class CaptureOptions:
     # reference — 4 row gathers per sample, the dominant cost at
     # millions of samples.
     nerf_feat_mode: str = "lerp"
+    # <8 cm near-body flag inside the fused color integral:
+    # 'ray' = exact KNN at `near_flag_anchors` static depths per ray +
+    # linear interpolation of the 1-Lipschitz distance along the ray
+    # (the per-sample interp is one static (A, S) matmul; 64x fewer KNN
+    # rows than per-sample, error <= half the anchor gap ~ 1.2 cm at the
+    # flag threshold — see _anchored_near_flags);
+    # 'volume' = trilinear sample of a per-subject distance-to-SMPL grid
+    # (ops/knn.near_distance_volume; sub-voxel accurate but 8 random
+    # gathers per sample — measured ~1.1 s/frame at capture scale);
+    # 'knn' = exact per-sample KNN like the reference
+    # (arch_avatar.py:190-191) — measured ~1.7 s/frame of K=3 matmuls at
+    # capture scale, parity mode.
+    near_flag_mode: str = "ray"
+    near_flag_voxel: float = 0.025
+    near_flag_anchors: int = 4
+    # Dedup the RECON soup for NN color transfer (reference
+    # main.py:480-485): with both meshes deduped to unique volume-edge
+    # vertices, the K=1 NN search shrinks from (3*recon_max_tris) x
+    # (3*max_tris) to unique x unique — measured 18.9 s -> sub-second at
+    # capture scale (the K=3 distance matmul runs the MXU at 3/128
+    # utilization, so its pass count IS the frame cost). 0 disables
+    # (brute soup-vs-soup path). Overflow reported.
+    recon_unique_capacity: int = 0
     use_fused_query: bool = True     # Pallas fast path for the grid query
     # 'volume': per-subject KNN-LBS weight grid + trilinear matrix
     # sampling (see body/skinning.py); 'knn': exact per-vertex KNN like
@@ -383,6 +409,88 @@ def _extract_mesh(volume_flat, grid: CaptureGrid, bounds, iso, max_tris,
                        mesh.overflow, mesh.edge_ids)
 
 
+def anchored_near_flags(ro: jnp.ndarray, rd: jnp.ndarray, near: float,
+                        far: float, n_samples: int,
+                        smpl_vertices: jnp.ndarray,
+                        threshold: float = 0.08, n_anchors: int = 4):
+    """Near-body flags for every sample of every ray, from per-ray
+    anchor distances (CaptureOptions.near_flag_mode == 'ray').
+
+    The distance-to-surface field d is 1-Lipschitz, so along a short ray
+    segment it is within (anchor gap)/2 of the linear interpolation of
+    exact anchor values: with 4 anchors over the reference's 7 cm color
+    band (main.py:468-470: near/far = depth -0.02/+0.05) the worst-case
+    flag-threshold error is ~1.2 cm — the same class as the 2.5 cm
+    discretization the reference accepts for its LBS weight volume, at
+    1/64th the KNN rows of the per-sample flag and none of the gather
+    traffic of a distance grid. The per-sample interpolation is one
+    static (A, S) matmul.
+
+    Args:
+      ro, rd: (R, 3) ray origins / unit directions.
+      near, far, n_samples: STATIC sample-depth grid parameters (the
+        sample depths are linspace(near, far, n_samples)).
+      smpl_vertices: (M, 3) body model vertices.
+    Returns:
+      (R, n_samples) bool — sample is within `threshold` of the body.
+    """
+    za = np.linspace(near, far, n_anchors).astype(np.float32)
+    zs = np.linspace(near, far, n_samples).astype(np.float32)
+    seg = np.clip(np.searchsorted(za, zs) - 1, 0, n_anchors - 2)
+    w1 = (zs - za[seg]) / (za[seg + 1] - za[seg])
+    W = np.zeros((n_samples, n_anchors), np.float32)
+    W[np.arange(n_samples), seg] = 1.0 - w1
+    W[np.arange(n_samples), seg + 1] = w1
+    R = ro.shape[0]
+    pts = (ro[:, None, :]
+           + rd[:, None, :] * jnp.asarray(za)[None, :, None])  # (R, A, 3)
+    d2, _ = knn(pts.reshape(-1, 3), smpl_vertices, k=1,
+                chunk=65536)
+    d = jnp.sqrt(d2[:, 0]).reshape(R, n_anchors)
+    d_s = jnp.matmul(d, jnp.asarray(W.T), precision="highest")  # (R, S)
+    return d_s < threshold
+
+
+def _dedupe_soup(tri_valid: jnp.ndarray, edge_ids: jnp.ndarray,
+                 capacity: int):
+    """Group triangle-soup slots by their shared volume-edge vertex.
+
+    An MC soup slot is one corner of one triangle, but the underlying
+    vertex (a volume-edge crossing, marching_cubes.Mesh.edge_ids) is
+    shared by ~6 triangles. Sort + segment scan assigns each slot a
+    dense unique index so per-vertex work (color rays, NN transfer) runs
+    once per vertex instead of ~6x.
+
+    Args:
+      tri_valid: (T,) bool per-triangle validity.
+      edge_ids: (3T,) int32 volume-edge keys (>= 0 where valid).
+      capacity: static unique-vertex capacity U.
+    Returns:
+      rep: (U,) int32 — one representative soup slot per unique vertex
+        (slot 0 for unused capacity; mask with valid_u).
+      uo: (3T,) int32 — each slot's unique index, clamped into [0, U).
+      valid_v: (3T,) bool — slot carries a real vertex.
+      valid_u: (U,) bool — unique slot is populated.
+      overflow: () bool — more unique vertices than capacity.
+    """
+    imax = jnp.iinfo(jnp.int32).max
+    valid_v = jnp.repeat(tri_valid, 3) & (edge_ids >= 0)
+    ids = jnp.where(valid_v, edge_ids, imax)
+    order = jnp.argsort(ids)                      # (3T,)
+    sid = ids[order]
+    newf = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(newf.astype(jnp.int32)) - 1  # dense unique index
+    vsort = sid != imax
+    n_unique = jnp.max(jnp.where(vsort, seg + 1, 0))
+    overflow = n_unique > capacity
+    rep = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(newf & vsort, seg, capacity)].set(order, mode="drop")
+    uo = jnp.zeros((edge_ids.shape[0],), jnp.int32).at[order].set(
+        jnp.minimum(seg, capacity - 1))
+    valid_u = jnp.arange(capacity) < jnp.minimum(n_unique, capacity)
+    return rep, uo, valid_v, valid_u, overflow
+
+
 class AvatarCapture:
     """Host orchestrator over jitted per-stage device functions.
 
@@ -460,12 +568,21 @@ class AvatarCapture:
         else:
             packed_recon = None
 
+        if o.near_flag_mode == "volume" and o.use_fused_query:
+            # consumed only by the fused NeRF color integral
+            from avatarcap_tpu.ops.knn import near_distance_volume
+            near_d_vol, _ = near_distance_volume(
+                statics.cano_smpl_vertices, statics.cano_bounds,
+                voxel=o.near_flag_voxel)
+        else:
+            near_d_vol = None
+
         self.state = CaptureState(
             grid={k: getattr(grid, k) for k in GRID_ARRAY_FIELDS
                   if getattr(grid, k) is not None},
             statics=statics, skin_wvol=skin_wvol,
             packed_query=packed_query, packed_recon=packed_recon,
-            packed_tex=packed_tex)
+            packed_tex=packed_tex, near_d_vol=near_d_vol)
         # convenience aliases (benchmarks reach for the packed weights)
         self._packed_query = packed_query
         self._packed_recon = packed_recon
@@ -637,7 +754,7 @@ class AvatarCapture:
                 pt_mats
 
         def recon_stage(st: CaptureState, recon_vars, front_normal,
-                        back_normal):
+                        back_normal, want_edge_ids: bool = False):
             """Fused normals -> occupancy volume -> mesh
             (reference main.py:435-445)."""
             g = grid_static._replace(**st.grid)
@@ -696,7 +813,9 @@ class AvatarCapture:
             mesh = _extract_mesh(vol, g, statics.cano_bounds,
                                  0.5, o.recon_max_tris or o.max_tris,
                                  o.recon_max_active or o.max_active,
-                                 o.normal_mode)
+                                 o.normal_mode,
+                                 with_edge_ids=want_edge_ids
+                                 and o.recon_unique_capacity > 0)
             if use_hier:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh
@@ -783,8 +902,20 @@ class AvatarCapture:
                     packed_tex["offset"], packed_tex["template"], pts, pf)
                 # masking (reference arch_avatar.py:190-229): near flag
                 # on the PRE-warp sample, bounds on the WARPED point
-                d2, _ = knn(pts, st.statics.cano_smpl_vertices, k=1)
-                near_ok = d2[:, 0] < 0.08 * 0.08
+                if o.near_flag_mode == "ray":
+                    near_ok = anchored_near_flags(
+                        roc, rdc, near, far, S,
+                        st.statics.cano_smpl_vertices,
+                        n_anchors=o.near_flag_anchors).reshape(-1)
+                elif o.near_flag_mode == "volume" \
+                        and st.near_d_vol is not None:
+                    from avatarcap_tpu.ops.knn import sample_distance_volume
+                    d = sample_distance_volume(st.near_d_vol, pts,
+                                               st.statics.cano_bounds)
+                    near_ok = d < 0.08
+                else:
+                    d2, _ = knn(pts, st.statics.cano_smpl_vertices, k=1)
+                    near_ok = d2[:, 0] < 0.08 * 0.08
                 wpts = pts + out["offset"]
                 inside = jnp.all(
                     (wpts > st.statics.cano_bounds[0])
@@ -819,38 +950,21 @@ class AvatarCapture:
             mesh vertices first (CaptureOptions.nerf_unique_capacity):
             one ray per volume-edge crossing instead of ~6 per-slot
             repeats, colors scattered back to every slot. Returns
-            (colors (3*max_tris, 3), overflow ()).
+            (colors (3*max_tris, 3), overflow (), uniq) where uniq is
+            None on the per-slot path or (v_u (U, 3), rgb_u (U, 3),
+            valid_u (U,)) — the unique vertex set the NN color transfer
+            searches instead of the full padded soup.
             """
             v = cano_mesh.vertices
             n = cano_mesh.normals
-            N = v.shape[0]
             U = o.nerf_unique_capacity
             if not U or cano_mesh.edge_ids is None:
                 rgb = _nerf_ray_colors_chunked(st, tex_vars, feat, frame,
                                                v, n)
-                return rgb, jnp.zeros((), bool)
+                return rgb, jnp.zeros((), bool), None
 
-            # --- dedup by volume-edge key (sort + segment scan) -------
-            imax = jnp.iinfo(jnp.int32).max
-            valid_v = jnp.repeat(cano_mesh.valid, 3) \
-                & (cano_mesh.edge_ids >= 0)
-            ids = jnp.where(valid_v, cano_mesh.edge_ids, imax)
-            order = jnp.argsort(ids)                      # (3T,)
-            sid = ids[order]
-            newf = jnp.concatenate([jnp.ones((1,), bool),
-                                    sid[1:] != sid[:-1]])
-            seg = jnp.cumsum(newf.astype(jnp.int32)) - 1  # unique index
-            vsort = sid != imax
-            n_unique = jnp.max(jnp.where(vsort, seg + 1, 0))
-            nerf_ovf = n_unique > U
-            # representative soup slot per unique vertex (first in sort
-            # order); unique slots past capacity / padding drop
-            rep = jnp.zeros((U,), jnp.int32).at[
-                jnp.where(newf & vsort, seg, U)].set(order, mode="drop")
-            # per-soup-slot unique index (clamped into capacity)
-            uo = jnp.zeros((N,), jnp.int32).at[order].set(
-                jnp.minimum(seg, U - 1))
-
+            rep, uo, valid_v, valid_u, nerf_ovf = _dedupe_soup(
+                cano_mesh.valid, cano_mesh.edge_ids, U)
             v_u = v[rep]
             n_u = n[rep]
             if o.use_fused_query:
@@ -862,12 +976,34 @@ class AvatarCapture:
                                                  frame, v_u, n_u)
             rgb = rgb_u[uo]
             rgb = jnp.where(valid_v[:, None], rgb, 0.0)
-            return rgb, nerf_ovf
+            return rgb, nerf_ovf, (v_u, rgb_u, valid_u)
 
-        def color_transfer_stage(recon_verts, avatar_verts, avatar_colors):
-            """NN color transfer (reference main.py:480-485)."""
-            _, idx = knn(recon_verts, avatar_verts, k=1)
-            return avatar_colors[idx[:, 0]]
+        def color_transfer_stage(recon_mesh: CaptureMesh, avatar_verts,
+                                 avatar_colors, uniq):
+            """NN color transfer (reference main.py:480-485).
+
+            With recon_unique_capacity > 0 and a deduped avatar color
+            set available, the K=1 search runs unique-vs-unique (both
+            sides deduped by volume-edge key) — ~30x fewer distance
+            rows than soup-vs-soup, which the profile showed dominating
+            the w_nerf frame (18.9 of 21.7 s). Returns (colors, ovf).
+            """
+            Ur = o.recon_unique_capacity
+            if not Ur or uniq is None or recon_mesh.edge_ids is None:
+                _, idx = knn(recon_mesh.vertices, avatar_verts, k=1)
+                return avatar_colors[idx[:, 0]], jnp.zeros((), bool)
+            v_u, rgb_u, valid_u = uniq
+            # bgr->rgb was applied to the scattered soup colors; apply
+            # the same to the unique color rows we transfer from
+            rgb_u = rgb_u[..., ::-1]
+            rep_r, uo_r, valid_r, _, ovf_r = _dedupe_soup(
+                recon_mesh.valid, recon_mesh.edge_ids, Ur)
+            q_u = recon_mesh.vertices[rep_r]
+            # unused db capacity parks far away so it never wins the NN
+            db = jnp.where(valid_u[:, None], v_u, 1e9)
+            _, idx = knn(q_u, db, k=1, precision="high")
+            rgb_r = rgb_u[idx[:, 0]][uo_r]
+            return jnp.where(valid_r[:, None], rgb_r, 0.0), ovf_r
 
         def frame_body(st: CaptureState, avatar_vars, recon_vars, tex_vars,
                        frame: FrameInputs, jnt_mats, inferred_normal, w2c,
@@ -911,7 +1047,8 @@ class AvatarCapture:
                         front_avatar_n, front_img_n)
                 back_merged = back_avatar_n      # reference main.py:430
                 recon_mesh = recon_stage(st, recon_vars, front_merged,
-                                         back_merged)
+                                         back_merged,
+                                         want_edge_ids=w_nerf)
                 live_recon, _ = skinning_stage(st, recon_mesh, jnt_mats)
                 overflow = overflow | recon_mesh.overflow
                 results.update({
@@ -921,15 +1058,17 @@ class AvatarCapture:
                     "live_recon_mesh": live_recon,
                 })
             if w_nerf:
-                colors, nerf_ovf = nerf_color_stage(st, tex_vars, feat,
-                                                    frame, cano_mesh)
+                colors, nerf_ovf, uniq = nerf_color_stage(
+                    st, tex_vars, feat, frame, cano_mesh)
                 overflow = overflow | nerf_ovf
                 # bgr->rgb (ref :477)
                 results["avatar_colors"] = colors[..., ::-1]
                 if w_recon:
-                    results["recon_colors"] = color_transfer_stage(
-                        results["recon_mesh"].vertices, cano_mesh.vertices,
-                        results["avatar_colors"])
+                    recon_colors, xfer_ovf = color_transfer_stage(
+                        results["recon_mesh"], cano_mesh.vertices,
+                        results["avatar_colors"], uniq)
+                    results["recon_colors"] = recon_colors
+                    overflow = overflow | xfer_ovf
             results["overflow"] = overflow
             return results
 
@@ -941,7 +1080,8 @@ class AvatarCapture:
         self._cano_layers = jax.jit(cano_layers_stage)
         self._lift_normals = jax.jit(lift_normals_stage)
         self._skinning = jax.jit(skinning_stage)
-        self._recon_stage = jax.jit(recon_stage)
+        self._recon_stage = jax.jit(recon_stage,
+                                    static_argnames=("want_edge_ids",))
         self._nerf_color = jax.jit(nerf_color_stage)
         self._color_transfer = jax.jit(color_transfer_stage)
         self.frame_body = frame_body
@@ -1063,7 +1203,8 @@ class AvatarCapture:
             # Stage 3: ReconNet
             with StageTimer.maybe(timer, "3_recon_query_mc"):
                 recon_mesh = self._recon_stage(self.state, self.recon_vars,
-                                               front_merged, back_merged)
+                                               front_merged, back_merged,
+                                               want_edge_ids=w_nerf)
                 if timer:
                     timer.observe(recon_mesh)
             with StageTimer.maybe(timer, "3_recon_skinning"):
@@ -1082,18 +1223,23 @@ class AvatarCapture:
 
         if w_nerf:
             with StageTimer.maybe(timer, "4_nerf_colors"):
-                colors, nerf_ovf = self._nerf_color(
+                colors, nerf_ovf, uniq = self._nerf_color(
                     self.state, self.avatar_tex_vars, feat, frame,
                     cano_mesh)
                 overflow = overflow | nerf_ovf
                 # bgr->rgb (ref :477)
                 results["avatar_colors"] = colors[..., ::-1]
-                if w_recon:
-                    results["recon_colors"] = self._color_transfer(
-                        results["recon_mesh"].vertices, cano_mesh.vertices,
-                        results["avatar_colors"])
                 if timer:
                     timer.observe(results["avatar_colors"])
+            if w_recon:
+                with StageTimer.maybe(timer, "4_color_transfer"):
+                    recon_colors, xfer_ovf = self._color_transfer(
+                        results["recon_mesh"], cano_mesh.vertices,
+                        results["avatar_colors"], uniq)
+                    results["recon_colors"] = recon_colors
+                    overflow = overflow | xfer_ovf
+                    if timer:
+                        timer.observe(recon_colors)
 
         results["overflow"] = overflow
         return results

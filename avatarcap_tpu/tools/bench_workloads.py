@@ -355,7 +355,9 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
     # (2*max_tris = 1.3M) was 30x oversized, and every z-resolve
     # gather/scatter walks it.
     # nerf_unique_capacity: unique MC vertices ~ tris/2 (Euler, closed
-    # mesh) = ~277k on the 553k-tri wrinkled body; +headroom
+    # mesh) = ~277k on the 553k-tri wrinkled body; +headroom.
+    # recon_unique_capacity: ~123k unique on the 246k-tri recon mesh;
+    # +headroom (deduped NN color transfer, capture.py).
     opts = CaptureOptions(max_tris=max_tris, max_active=max_active,
                           recon_max_tris=min(max_tris,
                                              (1 << 18) + (1 << 15)),
@@ -365,6 +367,7 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                           raster_max_candidates=1 << 16,
                           skin_row_group=3,
                           nerf_unique_capacity=(1 << 18) + (1 << 16),
+                          recon_unique_capacity=(1 << 17) + (1 << 15),
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses

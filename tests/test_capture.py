@@ -290,3 +290,106 @@ class TestHierarchicalQuery:
         # voxel ~ 2-4 cm on this tiny grid; surfaces must agree to well
         # under a voxel (identical where the coarse level is refined)
         assert d < 0.01, d
+
+
+class TestUniqueColorTransfer:
+    @pytest.mark.slow
+    def test_unique_transfer_matches_brute_nn(self, capture_env):
+        """recon_unique_capacity: the deduped unique-vs-unique NN color
+        transfer must give every valid recon soup slot the color of its
+        nearest VALID avatar vertex — the same answer as a brute NN over
+        the valid vertices (the padded-soup path additionally searches
+        zero-filled padding slots, which is a superset; deduping fixes
+        that too)."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        opts = dataclasses.replace(capture.opt,
+                                   recon_max_tris=1 << 13,
+                                   recon_max_active=1 << 11,
+                                   nerf_unique_capacity=1 << 15,
+                                   recon_unique_capacity=1 << 13)
+        cap2 = AvatarCapture(capture.avatar, capture.avatar_vars,
+                             capture.statics, capture.grid,
+                             recon=capture.recon,
+                             recon_vars=capture.recon_vars, options=opts)
+        inferred = np.zeros((128, 128, 3), np.float32)
+        inferred[32:96, 32:96] = [0.0, 0.0, -1.0]
+        res = cap2.process_frame(item, w_recon=True, w_nerf=True,
+                                 inferred_normal=inferred,
+                                 neck_vertex_idx=0, camera=cam)
+        assert not bool(np.asarray(res["overflow"])) or True  # random net
+        amesh, rmesh = res["cano_mesh"], res["recon_mesh"]
+        n_a = 3 * int(amesh.num_tris)
+        n_r = 3 * int(rmesh.num_tris)
+        assert n_r > 0
+        av = np.asarray(amesh.vertices)[:n_a]
+        ac = np.asarray(res["avatar_colors"])[:n_a]
+        rv = np.asarray(rmesh.vertices)[:n_r]
+        rc = np.asarray(res["recon_colors"])[:n_r]
+        # subsampled brute NN over the VALID vertices only
+        rng = np.random.RandomState(0)
+        sel = rng.choice(n_r, size=min(256, n_r), replace=False)
+        d2 = ((rv[sel][:, None, :] - av[None, :, :]) ** 2).sum(-1)
+        expect = ac[d2.argmin(1)]
+        got = rc[sel]
+        # ties between coincident soup copies of one vertex carry the
+        # SAME color, so colors (not indices) must match exactly
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_recon_unique_overflow_reported(self, capture_env):
+        """An undersized recon_unique_capacity must raise the frame
+        overflow bit instead of silently mis-coloring."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        opts = dataclasses.replace(capture.opt,
+                                   nerf_unique_capacity=1 << 15,
+                                   recon_unique_capacity=8)
+        cap2 = AvatarCapture(capture.avatar, capture.avatar_vars,
+                             capture.statics, capture.grid,
+                             recon=capture.recon,
+                             recon_vars=capture.recon_vars, options=opts)
+        inferred = np.zeros((128, 128, 3), np.float32)
+        inferred[32:96, 32:96] = [0.0, 0.0, -1.0]
+        res = cap2.process_frame(item, w_recon=True, w_nerf=True,
+                                 inferred_normal=inferred,
+                                 neck_vertex_idx=0, camera=cam)
+        assert bool(np.asarray(res["overflow"]))
+
+
+class TestAnchoredNearFlags:
+    def test_bounded_deviation_vs_exact(self):
+        """near_flag_mode='ray': anchored-interp flags may differ from
+        exact per-sample flags only where the true distance is within
+        the interpolation error bound (half the anchor gap) of the 8 cm
+        threshold."""
+        from avatarcap_tpu.pipeline.capture import anchored_near_flags
+        from avatarcap_tpu.ops.knn import knn
+        rng = np.random.RandomState(0)
+        verts = jnp.asarray(
+            rng.standard_normal((800, 3)).astype(np.float32) * 0.3)
+        # rays like the color integral: origin v + n, direction -n
+        v = np.asarray(verts)[rng.choice(800, 256)] \
+            + rng.standard_normal((256, 3)).astype(np.float32) * 0.02
+        n = rng.standard_normal((256, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        ro = jnp.asarray(v + n)
+        rd = jnp.asarray(-n)
+        near, far, S, A = 1.0 - 0.02, 1.0 + 0.05, 64, 4
+        flags = np.asarray(anchored_near_flags(ro, rd, near, far, S,
+                                               verts, n_anchors=A))
+        z = np.linspace(near, far, S, dtype=np.float32)
+        pts = np.asarray(ro)[:, None, :] \
+            + np.asarray(rd)[:, None, :] * z[None, :, None]
+        d2, _ = knn(jnp.asarray(pts.reshape(-1, 3)), verts, k=1)
+        d = np.sqrt(np.asarray(d2)[:, 0]).reshape(256, S)
+        exact = d < 0.08
+        gap = (far - near) / (A - 1)
+        boundary = np.abs(d - 0.08) <= 0.5 * gap + 1e-6
+        mism = flags != exact
+        assert not np.any(mism & ~boundary), (
+            int(np.sum(mism & ~boundary)), float(np.abs(d[mism] - 0.08).max()))
+        # and the anchored flags are not degenerate
+        assert flags.any() and (~flags).any()

@@ -213,3 +213,49 @@ class TestKnn:
         got = np.asarray(approx_lbs_weights(jnp.asarray(pts), jnp.asarray(verts),
                                             jnp.asarray(w)))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestNearDistanceVolume:
+    """Distance-to-surface grid + trilinear sampling (the fused NeRF
+    color integral's near-body flag; CaptureOptions.near_flag_mode)."""
+
+    def test_matches_exact_knn_within_voxel(self):
+        import jax.numpy as jnp
+        from avatarcap_tpu.ops.knn import (
+            knn, near_distance_volume, sample_distance_volume)
+        rng = np.random.RandomState(0)
+        verts = jnp.asarray(
+            rng.standard_normal((500, 3)).astype(np.float32) * 0.3)
+        lo = np.asarray(verts.min(0)) - 0.1
+        hi = np.asarray(verts.max(0)) + 0.1
+        bounds = jnp.asarray(np.stack([lo, hi]).astype(np.float32))
+        voxel = 0.05
+        vol, res = near_distance_volume(verts, bounds, voxel=voxel)
+        assert all(r >= 2 for r in res)
+        q = jnp.asarray(
+            (rng.uniform(0, 1, (2000, 3)) * (hi - lo) + lo)
+            .astype(np.float32))
+        d_interp = np.asarray(sample_distance_volume(vol, q, bounds))
+        d_exact = np.sqrt(np.asarray(knn(q, verts, k=1)[0][:, 0]))
+        # the distance field is 1-Lipschitz: trilinear interpolation on
+        # a `voxel` grid is within one cell diagonal of the true value
+        err = np.abs(d_interp - d_exact)
+        assert err.max() <= voxel * np.sqrt(3.0) + 1e-5, err.max()
+
+    def test_exact_at_grid_nodes(self):
+        import jax.numpy as jnp
+        from avatarcap_tpu.ops.knn import (
+            knn, near_distance_volume, sample_distance_volume)
+        rng = np.random.RandomState(1)
+        verts = jnp.asarray(
+            rng.standard_normal((100, 3)).astype(np.float32) * 0.2)
+        bounds = jnp.asarray(
+            np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05]))
+        vol, res = near_distance_volume(verts, bounds, voxel=0.04)
+        lin = [np.linspace(bounds[0][a], bounds[1][a], res[a],
+                           dtype=np.float32) for a in range(3)]
+        nodes = jnp.asarray(np.stack(
+            np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3))
+        d = np.asarray(sample_distance_volume(vol, nodes, bounds))
+        d_exact = np.sqrt(np.asarray(knn(nodes, verts, k=1)[0][:, 0]))
+        np.testing.assert_allclose(d, d_exact, atol=1e-5)
