@@ -46,16 +46,10 @@ def _time(fn, *args, iters: int = 10):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4 * 1024 * 1024)
-    ap.add_argument("--iters", type=int, default=10)
-    args = ap.parse_args()
-
+def measure(n: int = 4 * 1024 * 1024, iters: int = 10) -> list:
+    """Time both fused kernels at n points; return report dicts."""
     import jax
     import jax.numpy as jnp
-    from avatarcap_tpu.utils.timers import enable_compile_cache
-    enable_compile_cache()
     from avatarcap_tpu.models.avatar import GeoTexAvatar
     from avatarcap_tpu.models.recon import ReconNetwork
     from avatarcap_tpu.ops.pallas_query import (pack_recon_weights,
@@ -75,7 +69,6 @@ def main():
         jnp.zeros((1, 8, 3)), jnp.zeros((1, 3)))
     packed_recon = pack_recon_weights(recon_vars["params"]["image_decoder"])
 
-    n = args.n
     pts = jax.random.uniform(rng, (n, 3), jnp.float32, -0.5, 0.5)
     pose_feat = jax.random.normal(jax.random.PRNGKey(2), (n, 64),
                                   jnp.bfloat16)
@@ -84,7 +77,7 @@ def main():
     reports = []
     dt = _time(lambda p, f: warp_template_query_fused(
         packed["offset"], packed["template"], p, f),
-        pts, pose_feat, iters=args.iters)
+        pts, pose_feat, iters=iters)
     fl = _matmul_flops_per_point([packed["offset"], packed["template"]])
     tf = n * fl / dt / 1e12
     reports.append({
@@ -95,7 +88,7 @@ def main():
         "mfu_pct_v5e_bf16": round(100 * tf / V5E_BF16_PEAK_TFLOPS, 1)})
 
     dt = _time(lambda f: recon_decode_fused(packed_recon, f),
-               feats, iters=args.iters)
+               feats, iters=iters)
     fl = _matmul_flops_per_point([packed_recon])
     tf = n * fl / dt / 1e12
     reports.append({
@@ -104,8 +97,17 @@ def main():
         "mpts_per_s": round(n / dt / 1e6, 2),
         "tflop_per_s": round(tf, 1),
         "mfu_pct_v5e_bf16": round(100 * tf / V5E_BF16_PEAK_TFLOPS, 1)})
+    return reports
 
-    for r in reports:
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4 * 1024 * 1024)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    from avatarcap_tpu.utils.timers import enable_compile_cache
+    enable_compile_cache()
+    for r in measure(args.n, args.iters):
         print(json.dumps(r), flush=True)
 
 

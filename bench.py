@@ -211,6 +211,15 @@ def bench_config2_e2e():
           "steps/s", 1.0 / dt)
 
 
+def bench_kernel_mfu():
+    """Kernel-only MFU for the two fused Pallas kernels (the MXU-bound
+    core of configs #1/#3; see tools/bench_kernels.py for convention)."""
+    from avatarcap_tpu.tools.bench_kernels import measure
+    for r in measure(n=4 * 1024 * 1024, iters=10):
+        _emit(f"{r['kernel']}_mfu_pct", r["mfu_pct_v5e_bf16"], "% of v5e bf16 peak",
+              r["mfu_pct_v5e_bf16"] / 100.0)
+
+
 def bench_config3(env):
     """ReconNet: HGFilter 512^2 + pixel-aligned decode over 256^3 pts."""
     import jax
@@ -372,6 +381,7 @@ def main():
     _isolated("avatar_train_steps_per_s_batch4", bench_config2)
     _isolated("avatar_train_steps_per_s_batch4_with_data",
               bench_config2_e2e)
+    _isolated("kernel_mfu", bench_kernel_mfu)
 
     def _build_env():
         from avatarcap_tpu.tools.bench_workloads import build_capture_env
