@@ -39,8 +39,15 @@ def _pe_rows(x):
 
 
 def _dot(w_ref, h, b_ref):
-    """(O, I) @ (I, T) + (O, 1), f32 accumulate."""
-    return jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32) + b_ref[:]
+    """(O, I) @ (I, T) + (O, 1), f32 accumulate.
+
+    precision is pinned to DEFAULT: the operands are already bf16, and a
+    global jax_default_matmul_precision="highest" (as the CPU test
+    conftest sets) would otherwise reach Mosaic as contract_precision
+    fp32 on bf16 vectors — a "Bad lhs type" TPU compile error.
+    """
+    return jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT) + b_ref[:]
 
 
 def _template_kernel(pts_ref,

@@ -15,8 +15,7 @@ import pytest
 from conftest import make_toy_smpl_params
 
 
-@pytest.mark.slow
-def test_cli_test_mode(tmp_path, monkeypatch):
+def _run_cli(tmp_path, monkeypatch, stream):
     import jax
     import jax.numpy as jnp
     from avatarcap_tpu.tools.gen_synthetic import generate_subject
@@ -58,7 +57,8 @@ def test_cli_test_mode(tmp_path, monkeypatch):
             max_tris=1 << 14, max_active=1 << 13, render_res=64))
 
     cli.run_avatarcap(cfg, w_recon=True, w_nerf=False,
-                      save_avatar_mesh=True, save_final_mesh=True)
+                      save_avatar_mesh=True, save_final_mesh=True,
+                      stream=stream)
 
     out = tmp_path / "out"
     assert (out / "cano_avatar" / "0000.jpg").exists()
@@ -70,3 +70,20 @@ def test_cli_test_mode(tmp_path, monkeypatch):
     from avatarcap_tpu.data.mesh_io import load_ply
     v, f, _, _ = load_ply(str(out / "0000_avatar.ply"))
     assert v.shape[0] > 100 and np.isfinite(v).all()
+    return v
+
+
+@pytest.mark.slow
+def test_cli_test_mode(tmp_path, monkeypatch):
+    _run_cli(tmp_path, monkeypatch, stream=0)
+
+
+@pytest.mark.slow
+def test_cli_test_mode_streaming(tmp_path, monkeypatch):
+    """--stream N routes through pipeline/streaming.py (frames vmapped +
+    sharded over the 8-virtual-device mesh) and must produce the same
+    per-frame output files and geometry as the frame-at-a-time loop."""
+    v_stream = _run_cli(tmp_path / "s", monkeypatch, stream=1)
+    v_loop = _run_cli(tmp_path / "l", monkeypatch, stream=0)
+    assert v_stream.shape == v_loop.shape
+    np.testing.assert_allclose(v_stream, v_loop, atol=1e-4)
