@@ -267,13 +267,30 @@ def main():
                         help="test mode: process frames through the "
                              "batched streaming pipeline, N frames per "
                              "device (0 = frame-at-a-time).")
+    # the reference hard-codes these as run_avatarcap(...) kwargs in its
+    # __main__ (reference main.py:523-529); expose them as flags
+    parser.add_argument("--nerf", action="store_true",
+                        help="test mode: also evaluate NeRF vertex "
+                             "colors (textured results).")
+    parser.add_argument("--save-avatar-mesh", action="store_true",
+                        help="save animated GeoTexAvatar results as PLY.")
+    parser.add_argument("--save-final-mesh", action="store_true",
+                        help="save reconstructed AvatarCap results as PLY.")
+    parser.add_argument("--interval", type=int, default=1,
+                        help="frame interval for reconstruction.")
+    parser.add_argument("--view-idx", type=int, default=0,
+                        help="view index (synthetic multi-view data).")
     args = parser.parse_args()
     np.random.seed(31359)
     cfg = load_config(args.config_path)
     if args.mode == "train":
         train_avatar(cfg)
     else:
-        run_avatarcap(cfg, w_recon=True, stream=args.stream)
+        run_avatarcap(cfg, w_recon=True, w_nerf=args.nerf,
+                      save_avatar_mesh=args.save_avatar_mesh,
+                      save_final_mesh=args.save_final_mesh,
+                      interval=args.interval, view_idx=args.view_idx,
+                      stream=args.stream)
 
 
 if __name__ == "__main__":
