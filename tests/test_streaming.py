@@ -73,6 +73,10 @@ def _small_capture(with_recon: bool):
     return capture, params, pos_map, v
 
 
+@pytest.mark.slow  # 142 s: the slowest fast-suite test by 2.4x. Streaming
+# stays exercised every round by __graft_entry__.dryrun_multichip (full
+# pipeline over the 8-device mesh) and in -m slow by this test, the
+# full-pipeline match below, and test_cli_capture's streamed-vs-loop run
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_streaming_geometry_batch():
     from avatarcap_tpu.pipeline.streaming import StreamingCapture
