@@ -85,12 +85,15 @@ def train_avatar(cfg):
 
 
 def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
-                  save_final_mesh=False, interval=1, view_idx=0, stream=0):
+                  save_final_mesh=False, interval=1, view_idx=0, stream=0,
+                  frame_idx=None):
     """reference main.py:275-504.
 
     stream > 0 runs the frame-batched streaming pipeline
     (pipeline/streaming.py) with that many frames per device instead of
     the frame-at-a-time loop; outputs are identical per frame.
+    frame_idx targets one single frame (reference main.py:525's
+    frame_idx kwarg); None processes every interval-th frame.
     """
     import jax
     import jax.numpy as jnp
@@ -221,7 +224,8 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
                          np.asarray(rec.vertices[:n]), faces,
                          np.asarray(rec.normals[:n]), colors)
 
-    frame_ids = list(range(0, data_num, interval))
+    frame_ids = ([frame_idx] if frame_idx is not None
+                 else list(range(0, data_num, interval)))
     use_recon = w_recon and recon is not None
     if stream > 0:
         # batched frame-parallel path (reference main.py:348 loop, but
@@ -229,9 +233,11 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
         # frames/s on one v5e at batch 4 vs 1/0.572 single-frame)
         from avatarcap_tpu.parallel.mesh import make_mesh
         from avatarcap_tpu.pipeline.streaming import StreamingCapture
-        pairs = [load_frame(i) for i in frame_ids]
+        if not frame_ids:
+            print("run_avatarcap: no frames to process")
+            return
         if use_recon:
-            img_hw = pairs[0][1].shape[:2]
+            img_hw = load_frame(frame_ids[0])[1].shape[:2]
         else:
             img_hw = (cfg.testing.render_res, cfg.testing.render_res)
         sc = StreamingCapture(capture, make_mesh(jax.devices()),
@@ -239,12 +245,17 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
                               frames_per_device=stream,
                               w_recon=use_recon, w_nerf=w_nerf,
                               neck_vertex_idx=3068)
-        res_list = sc.run(
-            [p[0] for p in pairs],
-            inferred_normals=([p[1] for p in pairs] if use_recon
-                              else None))
-        for (item, _), results in zip(pairs, res_list):
-            save_frame(item["data_idx"], results)
+        # load + feed one streaming batch at a time: a long sequence
+        # never holds more than sc.batch decoded frames on the host
+        for start in range(0, len(frame_ids), sc.batch):
+            pairs = [load_frame(i)
+                     for i in frame_ids[start:start + sc.batch]]
+            res_list = sc.run(
+                [p[0] for p in pairs],
+                inferred_normals=([p[1] for p in pairs] if use_recon
+                                  else None))
+            for (item, _), results in zip(pairs, res_list):
+                save_frame(item["data_idx"], results)
     else:
         for i in frame_ids:
             item, inferred_normal = load_frame(i)
@@ -280,6 +291,9 @@ def main():
                         help="frame interval for reconstruction.")
     parser.add_argument("--view-idx", type=int, default=0,
                         help="view index (synthetic multi-view data).")
+    parser.add_argument("--frame-idx", type=int, default=None,
+                        help="test mode: process only this single frame "
+                             "(reference main.py:525 frame_idx).")
     args = parser.parse_args()
     np.random.seed(31359)
     cfg = load_config(args.config_path)
@@ -290,7 +304,7 @@ def main():
                       save_avatar_mesh=args.save_avatar_mesh,
                       save_final_mesh=args.save_final_mesh,
                       interval=args.interval, view_idx=args.view_idx,
-                      stream=args.stream)
+                      stream=args.stream, frame_idx=args.frame_idx)
 
 
 if __name__ == "__main__":

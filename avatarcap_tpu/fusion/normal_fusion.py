@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import optax
 
 from avatarcap_tpu.ops.se3 import axis_angle_to_matrix
-from avatarcap_tpu.ops.grid_sample import grid_sample_2d
 from avatarcap_tpu.ops.morphology import erode_3x3, distance_transform_l1
 from avatarcap_tpu.render.raster import rasterize
 from avatarcap_tpu.render.visualize import render_cano_mesh
@@ -176,14 +175,45 @@ def _neighbor_shift(img: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:
     """Reference get_neighbor_images quirk-for-quirk
     (normal_fusion.py:66-80): affine grid shift of dj*(2/H) in x and
     di*(2/W) in y, nearest sampling, align_corners=True (a 63/64-pixel
-    shift on the 64-grid)."""
+    shift on the 64-grid).
+
+    The nearest-sampled affine grid resolves to STATIC per-axis index
+    vectors (for the 64-grid: an exact one-pixel edge-clamped shift), so
+    this is implemented as slicing instead of grid_sample: the sampled
+    version inside the fusion optimizer's autodiff cost ~16 ms/frame of
+    1,616 tiny gather fusions (8 shifts x fwd/bwd x 100 iters) and its
+    backward is a scatter-add; a slice's backward is a slice."""
+    import numpy as np
     H, W, _ = img.shape
-    gy = jnp.linspace(-1.0, 1.0, H) + di / (W / 2.0)
-    gx = jnp.linspace(-1.0, 1.0, W) + dj / (H / 2.0)
-    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), -1)[None]
-    out = grid_sample_2d(jnp.moveaxis(img, -1, 0)[None], grid,
-                         mode="nearest")
-    return jnp.moveaxis(out[0], 0, -1)
+
+    def axis_indices(n, d, scale):
+        # same math as the affine grid + nearest resampling above
+        x = np.linspace(-1.0, 1.0, n) + d / (scale / 2.0)
+        u = np.clip((x + 1.0) * 0.5 * (n - 1), 0.0, n - 1)
+        return np.round(u).astype(np.int64)
+
+    def shift_axis(a, axis, idxs):
+        n = a.shape[axis]
+        base = np.arange(n)
+        if np.array_equal(idxs, base):
+            return a
+        full = [slice(None)] * a.ndim
+        if np.array_equal(idxs, np.minimum(base + 1, n - 1)):
+            head, tail = full.copy(), full.copy()
+            head[axis] = slice(1, None)
+            tail[axis] = slice(n - 1, n)
+            return jnp.concatenate([a[tuple(head)], a[tuple(tail)]],
+                                   axis=axis)
+        if np.array_equal(idxs, np.maximum(base - 1, 0)):
+            head, tail = full.copy(), full.copy()
+            head[axis] = slice(0, 1)
+            tail[axis] = slice(0, n - 1)
+            return jnp.concatenate([a[tuple(head)], a[tuple(tail)]],
+                                   axis=axis)
+        return jnp.take(a, jnp.asarray(idxs), axis=axis)
+
+    out = shift_axis(img, 0, axis_indices(H, di, W))
+    return shift_axis(out, 1, axis_indices(W, dj, H))
 
 
 @functools.partial(jax.jit, static_argnames=("iter_num",))

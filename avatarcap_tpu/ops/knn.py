@@ -135,9 +135,16 @@ def sample_distance_volume(vol: jnp.ndarray, pts: jnp.ndarray,
                            bounds) -> jnp.ndarray:
     """Trilinear sample of a `near_distance_volume` at (N, 3) points.
 
-    Points outside the bounds clamp to the border (they are >8 cm from
-    the body by construction of the canonical bounds, so the flag they
-    produce is correct anyway).
+    Points outside the bounds are NOT guaranteed far from the body by
+    the bounds themselves (the dataset pads only 5 cm in x/y,
+    data/dataset.py:129-131 — less than the 8 cm near-flag threshold),
+    so a plain border clamp could report a <8 cm distance for a point
+    arbitrarily far outside an xy face. For an out-of-bounds point p
+    with box projection c: every body vertex lies inside the bounds, so
+    d(p) >= |p - c|, and by 1-Lipschitzness d(p) >= d(c) - |p - c|; the
+    returned max of the two bounds grows without limit with the
+    distance from the box (no spurious near flags far away) and reduces
+    exactly to the trilinear sample inside the bounds.
     """
     lo, hi = bounds[0], bounds[1]
     n = jnp.asarray(vol.shape, pts.dtype)
@@ -160,4 +167,8 @@ def sample_distance_volume(vol: jnp.ndarray, pts: jnp.ndarray,
     c11 = at(1, 1, 0) * (1 - wz) + at(1, 1, 1) * wz
     c0 = c00 * (1 - wy) + c01 * wy
     c1 = c10 * (1 - wy) + c11 * wy
-    return c0 * (1 - wx) + c1 * wx
+    d_clamped = c0 * (1 - wx) + c1 * wx
+    # out-of-bounds lower bound (see docstring); zero inside the box
+    d_box = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(lo - pts, pts - hi), 0.0), axis=-1)
+    return jnp.maximum(d_clamped - d_box, d_box)

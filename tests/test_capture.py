@@ -318,7 +318,6 @@ class TestUniqueColorTransfer:
         res = cap2.process_frame(item, w_recon=True, w_nerf=True,
                                  inferred_normal=inferred,
                                  neck_vertex_idx=0, camera=cam)
-        assert not bool(np.asarray(res["overflow"])) or True  # random net
         amesh, rmesh = res["cano_mesh"], res["recon_mesh"]
         n_a = 3 * int(amesh.num_tris)
         n_r = 3 * int(rmesh.num_tris)
@@ -331,11 +330,22 @@ class TestUniqueColorTransfer:
         rng = np.random.RandomState(0)
         sel = rng.choice(n_r, size=min(256, n_r), replace=False)
         d2 = ((rv[sel][:, None, :] - av[None, :, :]) ** 2).sum(-1)
+        # the deduped transfer searches with precision='high' (bf16x3,
+        # ~1e-6 relative d2 error): near-tie NN picks between DISTINCT
+        # avatar vertices can legitimately flip vs this float64 brute
+        # force, so only compare queries whose best-vs-second margin
+        # (among distinct positions) exceeds the tie band
+        srt = np.sort(d2, axis=1)
+        second = np.where((srt - srt[:, :1]) > 1e-9, srt,
+                          np.inf).min(axis=1)
+        decisive = (second - srt[:, 0]) > 1e-5
         expect = ac[d2.argmin(1)]
         got = rc[sel]
         # ties between coincident soup copies of one vertex carry the
         # SAME color, so colors (not indices) must match exactly
-        np.testing.assert_allclose(got, expect, atol=1e-6)
+        np.testing.assert_allclose(got[decisive], expect[decisive],
+                                   atol=1e-6)
+        assert decisive.sum() > len(sel) // 2  # the comparison has teeth
 
     @pytest.mark.slow
     def test_recon_unique_overflow_reported(self, capture_env):

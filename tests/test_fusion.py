@@ -47,6 +47,26 @@ class TestResize:
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+class TestNeighborShift:
+    @pytest.mark.parametrize("di", [-1, 0, 1])
+    @pytest.mark.parametrize("dj", [-1, 0, 1])
+    def test_matches_reference_affine_grid_sample(self, rng, di, dj):
+        """The slice-based shift must equal the reference's affine-grid
+        nearest grid_sample quirk-for-quirk (normal_fusion.py:66-80),
+        including the 63/64-pixel offset's rounding and border clamps."""
+        from avatarcap_tpu.fusion.normal_fusion import _neighbor_shift
+        from avatarcap_tpu.ops.grid_sample import grid_sample_2d
+        img = rng.standard_normal((64, 64, 3)).astype(np.float32)
+        gy = jnp.linspace(-1.0, 1.0, 64) + di / (64 / 2.0)
+        gx = jnp.linspace(-1.0, 1.0, 64) + dj / (64 / 2.0)
+        grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), -1)[None]
+        ref = grid_sample_2d(jnp.moveaxis(jnp.asarray(img), -1, 0)[None],
+                             grid, mode="nearest")
+        ref = np.asarray(jnp.moveaxis(ref[0], 0, -1))
+        got = np.asarray(_neighbor_shift(jnp.asarray(img), di, dj))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestMerge:
     def test_cover(self, rng):
         src = rng.standard_normal((16, 16, 3)).astype(np.float32)
