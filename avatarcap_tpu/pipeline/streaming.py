@@ -66,6 +66,7 @@ class StreamingCapture:
         repl = NamedSharding(mesh, P())
         shard0 = NamedSharding(mesh, P("data"))
         self._shard0 = shard0
+        self._repl = repl
         self._state = jax.device_put(capture.state, repl)
         self._avatar_vars = jax.device_put(capture.avatar_vars, repl)
         self._recon_vars = (jax.device_put(capture.recon_vars, repl)
@@ -89,11 +90,16 @@ class StreamingCapture:
 
         frame_body = capture.frame_body
 
+        # Per-frame inputs are DONATED: each batch uploads fresh buffers
+        # (run() device_puts numpy arrays), so XLA may reuse their pages
+        # for temporaries/outputs instead of holding them live across
+        # the program (PREFLIGHT had alias_gb == 0 everywhere, r4).
         @functools.partial(
             jax.jit,
             in_shardings=(repl, repl, repl, repl,
                           shard0, shard0, shard0, shard0, shard0),
-            out_shardings=shard0)
+            out_shardings=shard0,
+            donate_argnums=(4, 5, 6, 7, 8))
         def frames_batch(st, avatar_vars, recon_vars, tex_vars,
                          pos_maps, live_smpl_v, jnt_mats,
                          inferred_normals, w2cs):
@@ -110,6 +116,28 @@ class StreamingCapture:
                                        inferred_normals, w2cs)
 
         self._frames_batch = frames_batch
+
+        # Sequential PIPELINED path (single-chip streaming): the exact
+        # production single-frame program, dispatched back-to-back with
+        # the next frame's host uploads overlapped under device compute.
+        # The batched vmap program serializes its frames through every
+        # stage on one chip, so it amortizes nothing there (measured
+        # 1.55 fps at batch 4 vs 1.80 sequential, r4); pipelining the
+        # ~4.5 MB/frame tunnel uploads + the per-dispatch RTT behind
+        # compute makes the sequential rate the floor, not the ceiling.
+        @functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7, 8),
+                           in_shardings=repl, out_shardings=repl)
+        def frame_one(st, avatar_vars, recon_vars, tex_vars,
+                      pos_map, lsv, jm, inorm, w2c):
+            frame = FrameInputs(live_smpl_v=lsv[None],
+                                cano2live_jnt_mats=jm[None],
+                                smpl_pos_map=pos_map[None])
+            return frame_body(st, avatar_vars, recon_vars, tex_vars,
+                              frame, jm, inorm, w2c, proj,
+                              fx, fy, cx, cy, neck_xy,
+                              w_recon=w_recon, w_nerf=w_nerf)
+
+        self._frame_one = frame_one
 
     def run(self, items: Iterable[dict],
             inferred_normals=None) -> List[dict]:
@@ -161,4 +189,56 @@ class StreamingCapture:
             # through the tunneled runtime runs at only 20-90 MB/s)
             for i in range(len(chunk) - pad):
                 results.append(jax.tree.map(lambda x: x[i], out))
+        return results
+
+    def _upload_frame(self, item: dict, inferred_normal) -> tuple:
+        """Fresh device buffers for one frame's five per-frame arrays
+        (fresh because `_frame_one` donates them)."""
+        img_h, img_w = self._img_hw
+        cano_v = np.asarray(self.capture.statics.cano_smpl_vertices)
+        norm = (inferred_normal if inferred_normal is not None
+                else np.zeros((img_h, img_w, 3), np.float32))
+        return tuple(jax.device_put(np.asarray(a), self._repl) for a in (
+            item["smpl_pos_map"],
+            item.get("live_smpl_v", cano_v),
+            item["cano2live_jnt_mats"],
+            norm,
+            item.get("w2c_RT", np.eye(4, dtype=np.float32))))
+
+    def run_pipelined(self, items: Iterable[dict], inferred_normals=None,
+                      lookahead: int = 2) -> List[dict]:
+        """Sequential streaming: one fused frame program per frame,
+        dispatched asynchronously with the next frames' host uploads
+        overlapped under device compute.
+
+        JAX dispatch is non-blocking, so keeping `lookahead` frames'
+        inputs uploaded ahead means the chip never idles between frames
+        waiting for the ~4.5 MB tunnel upload or the ~36 ms dispatch
+        RTT — the wins the batched vmap program was supposed to deliver
+        but cannot on one chip (it runs its frames' stages serially
+        anyway). Results are per-frame dicts of device arrays, exactly
+        like `run`.
+        """
+        items = list(items)
+        if inferred_normals is not None:
+            inferred_normals = list(inferred_normals)
+            assert len(inferred_normals) == len(items)
+
+        def upload(i):
+            return self._upload_frame(
+                items[i],
+                inferred_normals[i] if inferred_normals is not None
+                else None)
+
+        staged = {i: upload(i) for i in range(min(lookahead, len(items)))}
+        results: List[dict] = []
+        for i in range(len(items)):
+            # dispatch frame i (async), then stage frame i+lookahead's
+            # uploads while the device works
+            results.append(self._frame_one(
+                self._state, self._avatar_vars, self._recon_vars,
+                self._tex_vars, *staged.pop(i)))
+            j = i + lookahead
+            if j < len(items):
+                staged[j] = upload(j)
         return results

@@ -7,6 +7,7 @@ initial network's occupancy predictions; total = img + 0.5 * geo.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -71,7 +72,9 @@ def make_finetune_step(module: GeoTexAvatar, optimizer,
         return total, ({"tex_loss": img_loss, "geo_loss": geo_loss,
                         "total_loss": total}, updates["batch_stats"])
 
-    @jax.jit
+    # state donated (rebound every step); init_variables is the frozen
+    # anchor reused across steps, so it must NOT be donated
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, init_variables, batch, rng):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
@@ -110,8 +113,12 @@ def finetune_texture_template(cfg, module: GeoTexAvatar,
     step_fn = make_finetune_step(module, optimizer, statics,
                                  n_samples=cfg.n_samples)
 
-    init_variables = {"params": jax.tree.map(lambda x: x, state.params),
-                      "batch_stats": state.batch_stats}
+    # REAL copies: the step donates its TrainState, whose first-step
+    # buffers are `state`'s own arrays — an aliasing anchor would be
+    # invalidated by the donation after step 1
+    init_variables = {"params": jax.tree.map(jnp.copy, state.params),
+                      "batch_stats": jax.tree.map(jnp.copy,
+                                                  state.batch_stats)}
     ft_state = TrainState(state.params, state.batch_stats,
                           optimizer.init(state.params),
                           jnp.zeros((), jnp.int32))

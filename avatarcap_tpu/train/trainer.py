@@ -18,6 +18,7 @@ stats thread through the three forward passes exactly as torch would
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -117,7 +118,11 @@ def make_train_step(module: GeoTexAvatar, optimizer, statics: AvatarStatics,
                    "tex_offset_reg_loss": tex_reg, "total_loss": total}
         return total, (metrics, updates["batch_stats"])
 
-    @jax.jit
+    # state is DONATED: params + Adam m/v round-trip every step, so XLA
+    # aliases their HBM pages into the outputs instead of holding both
+    # generations live (PREFLIGHT had alias_gb == 0 everywhere, r4).
+    # Callers always rebind (state = train_step(state, ...)).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lrs, rng):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
@@ -211,9 +216,12 @@ class AvatarTrainer:
                                              20000, 0.5)
 
     def init_state(self, variables) -> TrainState:
-        return TrainState(variables["params"],
-                          variables.get("batch_stats", {}),
-                          self.optimizer.init(variables["params"]),
+        # COPY into the state: train_step donates its TrainState, so
+        # sharing the caller's buffers would delete `variables` after
+        # the first step (callers compare against them; one-time copy)
+        params = jax.tree.map(jnp.copy, variables["params"])
+        stats = jax.tree.map(jnp.copy, variables.get("batch_stats", {}))
+        return TrainState(params, stats, self.optimizer.init(params),
                           jnp.zeros((), jnp.int32))
 
     def epoch_lrs(self, epoch_idx: int, batch_num: int) -> np.ndarray:

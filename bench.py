@@ -321,17 +321,53 @@ def bench_w_nerf(env):
 
 
 def bench_config5(env):
-    """Streaming capture (config #5): the FULL per-frame pipeline vmapped
-    over a frame batch (pipeline/streaming.py) on one chip; the v5e-4
-    scaling axis is exercised by dryrun_multichip on the virtual mesh."""
+    """Streaming capture (config #5): sustained frames/s on one chip.
+
+    The official single-chip number is the PIPELINED sequential path
+    (pipeline/streaming.py:run_pipelined) — the exact production fused
+    frame program with donated inputs, dispatched back-to-back with the
+    next frames' host uploads overlapped under device compute. The
+    batched vmap path (which is what multi-chip frame sharding uses per
+    device) is emitted as a secondary metric; on ONE chip vmap
+    serializes its frames through every stage, so it amortizes nothing
+    (measured 1.55 fps at batch 4 vs 1.80 sequential, r4). The v5e-4
+    scaling axis is exercised by dryrun_multichip on the virtual mesh.
+    """
     import jax
     from avatarcap_tpu.utils.timers import sync
     from avatarcap_tpu.parallel.mesh import make_mesh
     from avatarcap_tpu.pipeline.streaming import StreamingCapture
 
     cap, item = env["capture"], env["item"]
-    # batch 4/chip: preflighted at 7.9 GB of 15.75 GB HBM (the flat-mats
-    # skinning rework dropped the per-frame footprint ~4.5x, r4)
+    mesh = make_mesh(jax.devices()[:1])
+    stream = StreamingCapture(cap, mesh, camera=env["cam"],
+                              image_size=(512, 512), w_recon=True,
+                              frames_per_device=1)
+    n_frames = 8
+    items = [dict(item) for _ in range(n_frames)]
+    norms = [env["inferred_normal"]] * n_frames
+    res = stream.run_pipelined(items, inferred_normals=norms)  # compile
+    sync(res[-1])
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        res = stream.run_pipelined(items, inferred_normals=norms)
+        sync(res[-1])
+    dt = (time.time() - t0) / (reps * n_frames)
+    _emit("streaming_capture_fps_1chip", 1.0 / dt, "frames/s", 1.0 / dt)
+
+
+def bench_config5_batched(env):
+    """Secondary: the batched vmap streaming program (the per-device
+    program of multi-chip frame sharding) on one chip."""
+    import jax
+    from avatarcap_tpu.utils.timers import sync
+    from avatarcap_tpu.parallel.mesh import make_mesh
+    from avatarcap_tpu.pipeline.streaming import StreamingCapture
+
+    cap, item = env["capture"], env["item"]
+    # batch 4/chip: preflighted at 7.46 GB of 14 GB HBM (flat-mats
+    # skinning rework, r4); batch 6 needs 16.3 GB and does not fit
     fpd = int(os.environ.get("BENCH_STREAM_BATCH", "4"))
     mesh = make_mesh(jax.devices()[:1])
     stream = StreamingCapture(cap, mesh, camera=env["cam"],
@@ -347,7 +383,8 @@ def bench_config5(env):
         res = stream.run(items, inferred_normals=norms)
     sync(res[-1])
     dt = (time.time() - t0) / (reps * stream.batch)
-    _emit("streaming_capture_fps_1chip", 1.0 / dt, "frames/s", 1.0 / dt)
+    _emit("streaming_capture_fps_1chip_batched", 1.0 / dt, "frames/s",
+          1.0 / dt)
 
 
 def _device_ready(timeout_s: int = 240) -> bool:
@@ -397,6 +434,8 @@ def main():
             _emit("avatarcap_full_frame_seconds", dt, "s", 1.0 / dt)
         _isolated("full_frame_w_nerf", bench_w_nerf, env)
         _isolated("streaming_capture_fps_1chip", bench_config5, env)
+        _isolated("streaming_capture_fps_1chip_batched",
+                  bench_config5_batched, env)
     # headline LAST too: the driver reads the final line as the metric
     if dt is not None:
         _emit("avatarcap_full_frame_seconds", dt, "s", 1.0 / dt)

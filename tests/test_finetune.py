@@ -55,11 +55,16 @@ def test_finetune_step_freezes_non_template(tmp_path):
     opt = optax.multi_transform(
         {"train": optax.adam(5e-4), "freeze": optax.set_to_zero()}, label_fn)
     step = make_finetune_step(module, opt, statics, n_samples=4)
-    init_vars = {"params": variables["params"],
-                 "batch_stats": variables["batch_stats"]}
+    # the step DONATES its TrainState; the frozen anchor (and the
+    # post-loop comparison baseline) must be real copies, exactly as the
+    # production loop makes them (finetune.py:finetune_texture_template)
+    init_vars = {"params": jax.tree.map(jnp.copy, variables["params"]),
+                 "batch_stats": jax.tree.map(jnp.copy,
+                                             variables["batch_stats"])}
     state = TrainState(variables["params"], variables["batch_stats"],
                        opt.init(variables["params"]),
                        jnp.zeros((), jnp.int32))
+    variables = init_vars
     for i in range(3):
         state, m = step(state, init_vars, batch, jax.random.PRNGKey(i))
     assert np.isfinite(float(m["total_loss"]))

@@ -179,3 +179,17 @@ def test_streaming_full_pipeline_matches_single():
         np.asarray(s["live_recon_mesh"].vertices)[: 3 * nt_l],
         np.asarray(b["live_recon_mesh"].vertices)[: 3 * nt_l], atol=1e-4)
     assert not bool(np.asarray(b["recon_mesh"].overflow))
+
+    # the sequential PIPELINED path (donated inputs, upload-ahead) must
+    # produce the same per-frame results as the batched sharded path
+    res_pipe = stream.run_pipelined(items[:4],
+                                    inferred_normals=[inferred] * 4)
+    assert len(res_pipe) == 4
+    p = res_pipe[3]
+    assert int(p["recon_mesh"].num_tris) == int(b["recon_mesh"].num_tris)
+    np.testing.assert_allclose(
+        np.asarray(p["recon_mesh"].vertices)[: 3 * nt],
+        np.asarray(b["recon_mesh"].vertices)[: 3 * nt], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p["front_merged_normal"]),
+        np.asarray(b["front_merged_normal"]), atol=1e-4)
