@@ -662,19 +662,20 @@ class AvatarCapture:
                 mesh = mesh._replace(overflow=mesh.overflow | q_ovf)
             return mesh, feat
 
-        def cano_layers_stage(mesh: CaptureMesh):
+        def cano_layers_stage(mesh: CaptureMesh, extra_tri_attrs=None):
             """One front + one back index pass over the canonical mesh,
             then all attribute layers by interpolation: avatar normals
             (reference main.py:369) and the phong preview (main.py:371-375).
-            The index passes are reused again for the lifted image normals
-            in the fusion stage.
 
             All per-vertex layers (normals + both sides' phong camera
-            positions/normals) are concatenated into ONE 15-channel
-            attribute table so each side pays a single 180 B row gather
-            per pixel instead of three 36 B ones — row DMAs are
-            latency-bound, so this is 6 gather passes -> 2 (~10 ms/frame
-            at 512^2; same math as cano_interpolate + cano_phong)."""
+            positions/normals + any EXTRA per-tri layer, e.g. the lifted
+            image normals of the fusion stage) are concatenated into ONE
+            15-18 channel attribute table so each side pays a single
+            ~200 B row gather per pixel instead of several 36 B ones —
+            row DMAs are latency-bound, so folding the fusion stage's
+            two lifted-normal interpolations in here (the fused
+            frame_body path) is 4 gather passes -> 2 (~19 ms/frame at
+            512^2; same math as cano_interpolate + cano_phong)."""
             from avatarcap_tpu.render.raster import interpolate
             from avatarcap_tpu.render.visualize import phong_shade
             tris = mesh.vertices.reshape(-1, 3, 3)
@@ -696,7 +697,10 @@ class AvatarCapture:
 
             fv, fn = cam_attrs(jnp.asarray(self._fmv))
             bv, bn = cam_attrs(jnp.asarray(self._bmv))
-            wide = jnp.concatenate([attr, fv, fn, bv, bn], axis=-1)
+            layers = [attr, fv, fn, bv, bn]
+            if extra_tri_attrs is not None:
+                layers.append(extra_tri_attrs)
+            wide = jnp.concatenate(layers, axis=-1)
             f_out = interpolate(fri, wide)
             b_out = interpolate(bri, wide)[:, ::-1]
             front_n = f_out[..., 0:3]
@@ -707,7 +711,12 @@ class AvatarCapture:
             phong_b = jnp.where(bri.mask[:, ::-1][..., None],
                                 phong_shade(b_out[..., 9:12],
                                             b_out[..., 12:15]), 1.0)
-            return fri, bri, front_n, back_n, (phong_f, phong_b)
+            base = (fri, bri, front_n, back_n, (phong_f, phong_b))
+            if extra_tri_attrs is not None:
+                # same convention as cano_interpolate: back x-flipped
+                # (b_out is already flipped above)
+                return base + (f_out[..., 15:18], b_out[..., 15:18])
+            return base
 
         def lift_normals_stage(fri, bri, live_mesh: CaptureMesh,
                                valid, inferred_normal, pt_mats, w2c, proj,
@@ -1018,9 +1027,25 @@ class AvatarCapture:
             """
             cano_mesh, feat = avatar_geometry_stage(
                 st, avatar_vars, frame, want_edge_ids=w_nerf)
-            (fri, bri, front_avatar_n, back_avatar_n,
-             phong) = cano_layers_stage(cano_mesh)
             live_mesh, pt_mats = skinning_stage(st, cano_mesh, jnt_mats)
+            if w_recon:
+                # lift image normals BEFORE the cano layers so their
+                # interpolation folds into the shared wide-table gather
+                # (2 passes instead of 4 — see cano_layers_stage)
+                img_h, img_w = inferred_normal.shape[:2]
+                proj_n_tris, lift_ovf = lift_image_normals(
+                    live_mesh.vertices.reshape(-1, 3, 3), cano_mesh.valid,
+                    inferred_normal, pt_mats, w2c, proj,
+                    fx, fy, cx, cy, img_h, img_w, window=o.cano_window,
+                    big_tris=o.live_big_tris,
+                    max_candidates=o.raster_max_candidates,
+                    with_overflow=True)
+                (fri, bri, front_avatar_n, back_avatar_n, phong,
+                 front_img_n, back_img_n) = cano_layers_stage(
+                    cano_mesh, extra_tri_attrs=proj_n_tris)
+            else:
+                (fri, bri, front_avatar_n, back_avatar_n,
+                 phong) = cano_layers_stage(cano_mesh)
             # one aggregate dropped-work flag for the whole frame: any
             # static capacity hit (query refine, MC tris/active cubes,
             # raster candidates, big-triangle slots) anywhere in the
@@ -1034,9 +1059,6 @@ class AvatarCapture:
                 "back_avatar_normal": back_avatar_n,
             }
             if w_recon:
-                front_img_n, back_img_n, lift_ovf = lift_normals_stage(
-                    fri, bri, live_mesh, cano_mesh.valid, inferred_normal,
-                    pt_mats, w2c, proj, fx, fy, cx, cy)
                 overflow = overflow | lift_ovf
                 if o.integrate_manner == "merge":
                     front_merged = merge_normal_images(

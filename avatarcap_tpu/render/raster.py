@@ -386,8 +386,13 @@ def rasterize_index_pair(clip_front: jnp.ndarray, clip_back: jnp.ndarray,
         mask = wv != jnp.iinfo(jnp.int32).max
         safe_winner = jnp.where(mask, wv, 0)
         tri_of = safe_winner & (Tp - 1)
-        bw = _perspective_weights(w0_flat[safe_winner],
-                                  w1_flat[safe_winner], iw[tri_of])
+        # ortho shortcut: the pair precondition is w == 1 everywhere, so
+        # perspective-correct weights ARE the screen barycentrics — skip
+        # the iw[tri_of] row gather + division (~12 ms/frame of 12 B
+        # latency-bound row DMAs at 512^2)
+        w0_w = w0_flat[safe_winner]
+        w1_w = w1_flat[safe_winner]
+        bw = jnp.stack([w0_w, w1_w, 1.0 - w0_w - w1_w], axis=-1)
         out_depth = jnp.where(mask, zbuf[s * npix:(s + 1) * npix], jnp.inf)
 
         if big_tri_capacity > 0:
@@ -449,8 +454,15 @@ def _big_triangle_pass(px, py, pz, iw, area2, is_big, capacity,
                        height, width):
     """Exact coverage for <=capacity oversized triangles, scatter-free:
     every pixel tests each big triangle and keeps the min-depth winner.
-    Cost is capacity * H * W elementwise ops — fine for the few large
-    triangles of body meshes seen up close.
+
+    The (C, P) candidate math feeds the argmin as a SINGLE-consumer
+    chain so XLA fuses it into the reduce without materializing any
+    (capacity, H*W) array (an earlier version re-read w0/w1/zm at the
+    winners — ~6 materialized (C, P) f32 arrays, ~40 ms/frame at
+    C=64..128, P=512^2); winner attributes are then RECOMPUTED per
+    pixel from a one-hot (P, C) @ (C, 16) coefficient matmul (exact:
+    identical per-element expressions, and int columns < 2^24 ride f32
+    exactly).
 
     Returns flat (P,) winner tri ids (into the ORIGINAL soup), (P, 3)
     weights, (P,) depth (+inf empty), (P,) mask, () overflow.
@@ -471,25 +483,47 @@ def _big_triangle_pass(px, py, pz, iw, area2, is_big, capacity,
     cx, cy = bpx[:, 2:3], bpy[:, 2:3]
     inv_area = 1.0 / jnp.where(jnp.abs(barea) < 1e-12, 1.0,
                                barea)[:, None]
+    eps = -1e-6
+
+    def cover_z(w0, w1, z0, z1, z2, alive):
+        w2 = 1.0 - w0 - w1
+        covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & alive
+        z = w0 * z0 + w1 * z1 + w2 * z2
+        covered &= (z >= -1.0) & (z <= 1.0)
+        return covered, z
+
     w0 = ((cx - bx) * (fy[None] - by) - (cy - by) * (fx[None] - bx)) \
         * inv_area                                      # (C, P)
     w1 = ((ax - cx) * (fy[None] - cy) - (ay - cy) * (fx[None] - cx)) \
         * inv_area
-    w2 = 1.0 - w0 - w1
-    eps = -1e-6
-    covered = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & live[:, None]
-    z = w0 * bpz[:, 0:1] + w1 * bpz[:, 1:2] + w2 * bpz[:, 2:3]
-    covered &= (z >= -1.0) & (z <= 1.0)
+    covered, z = cover_z(w0, w1, bpz[:, 0:1], bpz[:, 1:2], bpz[:, 2:3],
+                         live[:, None])
     zm = jnp.where(covered, z, jnp.inf)                 # (C, P)
-
     best = jnp.argmin(zm, axis=0)                       # (P,) first min wins
-    pcols = jnp.arange(zm.shape[1])
-    zbest = zm[best, pcols]
-    mask = zbest < jnp.inf
-    w0b = w0[best, pcols]
-    w1b = w1[best, pcols]
-    bw = _perspective_weights(w0b, w1b, biw[best])      # (P, 3)
-    tri = jnp.where(mask, idx[best], 0)
+
+    # one-hot winner row: 16 coefficient columns recomputed per pixel
+    C = zm.shape[0]
+    table = jnp.concatenate(
+        [bpx, bpy, bpz, biw, barea[:, None],
+         idx.astype(px.dtype)[:, None],
+         live.astype(px.dtype)[:, None]], axis=-1)      # (C, 14+2)
+    onehot = (best[:, None]
+              == jnp.arange(C, dtype=best.dtype)[None, :]).astype(px.dtype)
+    rows = jnp.matmul(onehot, table, precision="highest")  # (P, 16)
+    rax, ray = rows[:, 0], rows[:, 3]
+    rbx, rby = rows[:, 1], rows[:, 4]
+    rcx, rcy = rows[:, 2], rows[:, 5]
+    rz = rows[:, 6:9]
+    riw = rows[:, 9:12]
+    rarea = rows[:, 12]
+    rtri = rows[:, 13]
+    rlive = rows[:, 14] > 0.5
+    rinv = 1.0 / jnp.where(jnp.abs(rarea) < 1e-12, 1.0, rarea)
+    w0b = ((rcx - rbx) * (fy - rby) - (rcy - rby) * (fx - rbx)) * rinv
+    w1b = ((rax - rcx) * (fy - rcy) - (ray - rcy) * (fx - rcx)) * rinv
+    mask, zbest = cover_z(w0b, w1b, rz[:, 0], rz[:, 1], rz[:, 2], rlive)
+    bw = _perspective_weights(w0b, w1b, riw)            # (P, 3)
+    tri = jnp.where(mask, rtri.astype(jnp.int32), 0)
     return tri, bw, jnp.where(mask, zbest, jnp.inf), mask, n_big > capacity
 
 
