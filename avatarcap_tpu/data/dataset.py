@@ -38,6 +38,18 @@ SAMPLED_RAY_NUM = 1024      # reference dataset/avatarcap_dataset.py:239
 SURFACE_PTS_PER_ITEM = 5000  # reference :285
 VOLUME_PTS_PER_ITEM = SURFACE_PTS_PER_ITEM // 16  # reference :286
 
+# Forked process-pool workers inherit the dataset through this module
+# global (set by AvatarCapDataset._fork_pool immediately before the
+# fork) — submitting a bound method would pickle the whole dataset per
+# task. One active fork-pool dataset per process is sufficient: pools
+# are short-lived (one epoch iterator) and re-fork on each call.
+_FORK_DATASET = None
+
+
+def _fork_getitem(index: int, seed: int, light: bool):
+    return _FORK_DATASET.__getitem__(
+        index, np.random.RandomState(seed), light=light)
+
 
 class AvatarCapDataset:
     def __init__(self, data_dir: str, training: bool,
@@ -393,17 +405,25 @@ class AvatarCapDataset:
     def batches(self, batch_size: int, shuffle: bool = True,
                 seed: int = 31359, drop_last: bool = True,
                 num_workers: int = 0, prefetch_batches: int = 2,
-                light: bool = False):
+                light: bool = False, workers: str = "thread"):
         """Epoch iterator yielding stacked numpy batches (torch DataLoader
         equivalent, reference :349-359).
 
-        num_workers > 0 decodes items on a thread pool and keeps
+        num_workers > 0 decodes items on a worker pool and keeps
         ``prefetch_batches`` batches in flight, overlapping imread/ray
         sampling with the device step like the reference's worker loader
         (reference dataset/avatarcap_dataset.py:349-359). Each item then
         draws from its own position-seeded RandomState so the sample
-        stream is deterministic regardless of thread timing (the serial
+        stream is deterministic regardless of worker timing (the serial
         num_workers=0 path keeps the legacy shared-rng stream).
+
+        workers: 'thread' (default) or 'process'. The thread pool is
+        GIL-bound — measured 6.99 -> 3.27 steps/s when the host runs
+        other work concurrently (PERFORMANCE.md r4) — while 'process'
+        forks workers that inherit the dataset read-only (no pickling of
+        self; items return via pickle, ~100 KB each on the light path)
+        and keep full decode throughput under host contention. Both
+        yield IDENTICAL batches for the same seed.
         """
         rng = np.random.RandomState(seed)
         order = np.arange(len(self))
@@ -422,20 +442,27 @@ class AvatarCapDataset:
             return
 
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
 
-        def item_rng(pos: int) -> np.random.RandomState:
-            return np.random.RandomState(
-                (seed + 1000003 * (pos + 1)) % (2 ** 31 - 1))
+        def item_seed(pos: int) -> int:
+            return (seed + 1000003 * (pos + 1)) % (2 ** 31 - 1)
 
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        if workers == "process":
+            ex, get_fn = self._fork_pool(num_workers)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=num_workers)
+
+            def get_fn(i, s, lt):
+                return self.__getitem__(i, np.random.RandomState(s), lt)
+
+        try:
             pending = deque()
 
             def submit(b: int) -> None:
                 idxs = order[b * batch_size:(b + 1) * batch_size]
                 pending.append([
-                    ex.submit(self.__getitem__, int(i),
-                              item_rng(b * batch_size + j), light)
+                    ex.submit(get_fn, int(i),
+                              item_seed(b * batch_size + j), light)
                     for j, i in enumerate(idxs)])
 
             nxt = 0
@@ -450,10 +477,27 @@ class AvatarCapDataset:
                     nxt += 1
                 yield {k: np.stack([it[k] for it in items])
                        for k in items[0]}
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _fork_pool(self, num_workers: int):
+        """Process pool whose forked children inherit this dataset via a
+        module global — submitting a bound method would pickle SELF
+        (pos maps + presampled points, 100s of MB) per task. Fork is
+        safe here because __getitem__ is jax-free by contract (numpy +
+        cv2 only) and children never touch the TPU client."""
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        global _FORK_DATASET
+        _FORK_DATASET = self
+        ex = ProcessPoolExecutor(max_workers=num_workers,
+                                 mp_context=mp.get_context("fork"))
+        return ex, _fork_getitem
 
     def device_batches(self, batch_size: int, shuffle: bool = True,
                        seed: int = 31359, drop_last: bool = True,
-                       num_workers: int = 0, prefetch_batches: int = 2):
+                       num_workers: int = 0, prefetch_batches: int = 2,
+                       workers: str = "thread"):
         """Training batches as DEVICE arrays, tunnel-bandwidth-aware.
 
         The thread-pool loader overlaps decode with the step, but on the
@@ -523,7 +567,7 @@ class AvatarCapDataset:
                                   drop_last=drop_last,
                                   num_workers=num_workers,
                                   prefetch_batches=prefetch_batches,
-                                  light=True):
+                                  light=True, workers=workers):
             dev = upload(batch)
             if prev is not None:
                 yield prev

@@ -191,8 +191,12 @@ def bench_config2_e2e():
         # naive path re-ships ~7 MB/batch of constants through the
         # ~25 MB/s tunnel — measured 2.6 steps/s vs 7.5 device-only)
         metrics, n = None, 0
+        # process workers: the thread loader is GIL-bound and halves
+        # under concurrent host load (6.99 -> 3.27 steps/s, r4);
+        # forked workers keep full decode throughput
         for batch in ds.device_batches(4, shuffle=True, seed=seed,
-                                       num_workers=3):
+                                       num_workers=3,
+                                       workers="process"):
             rng, r = jax.random.split(rng)
             state, metrics = trainer.train_step(state, batch, lrs, r)
             n += 1
