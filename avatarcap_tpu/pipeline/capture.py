@@ -503,7 +503,18 @@ class AvatarCapture:
                  statics: AvatarStatics, grid: CaptureGrid,
                  recon: Optional[ReconNetwork] = None, recon_vars=None,
                  avatar_tex_vars=None,
-                 options: CaptureOptions = CaptureOptions()):
+                 options: CaptureOptions = CaptureOptions(),
+                 shard_mesh=None, shard_axis: str = "data"):
+        """shard_mesh: optional jax.sharding.Mesh — POINT-shard the two
+        implicit grid queries (the FLOP-dominant stages) of every frame
+        over its ``shard_axis`` so a multi-chip mesh cuts single-frame
+        LATENCY, not just throughput (SURVEY §2.3's second scaling axis;
+        the reference's equivalent is the chunked host loop at
+        network/arch_avatar.py:366-377). Params/pose features are
+        replicated; each device evaluates its slab of query points via
+        shard_map and the occupancy scatter all-gathers slabs over ICI.
+        Requires hierarchical_query; don't combine with the
+        frame-sharded streaming vmap (one mesh axis per program)."""
         self.avatar = avatar
         self.avatar_vars = avatar_vars
         self.avatar_tex_vars = avatar_tex_vars or avatar_vars
@@ -511,6 +522,8 @@ class AvatarCapture:
         self.recon = recon
         self.recon_vars = recon_vars
         self.opt = options
+        self.shard_mesh = shard_mesh
+        self.shard_axis = shard_axis
 
         center = np.asarray(statics.cano_smpl_center)
         (self._fmvp, self._fmv, self._bmvp, self._bmv) = \
@@ -533,6 +546,37 @@ class AvatarCapture:
             grid = build_grid_hierarchy(grid, statics.cano_bounds)
         self.grid = grid
         use_hier = o.hierarchical_query and grid.c_idx is not None
+
+        if shard_mesh is not None:
+            assert use_hier, "point sharding wraps the hierarchical vfs"
+            n_shards = int(shard_mesh.shape[shard_axis])
+            for name, cap in (
+                    ("coarse capacity", grid.c_pts.shape[0]),
+                    ("refine_capacity",
+                     min(o.refine_capacity,
+                         int(np.prod(grid.vol_res)))),
+                    ("recon_refine_capacity",
+                     min(o.recon_refine_capacity or o.refine_capacity,
+                         int(np.prod(grid.vol_res))))):
+                assert cap % n_shards == 0, (
+                    f"{name}={cap} must divide the {n_shards}-way "
+                    f"point shard")
+
+        def shard_value_fn(vf):
+            """Wrap a (pts (N,3), fidx (N,)) -> (N,) implicit-field fn
+            so each mesh device evaluates its point slab (no-op without
+            a shard_mesh). Closed-over packed weights / pose-feature
+            columns are replicated by shard_map."""
+            if shard_mesh is None:
+                return vf
+            from jax.sharding import PartitionSpec as SP
+            spec = SP(shard_axis)
+
+            def vf_sharded(pts, fidx):
+                return jax.shard_map(vf, mesh=shard_mesh,
+                                     in_specs=(spec, spec),
+                                     out_specs=spec)(pts, fidx)
+            return vf_sharded
 
         if o.skinning_mode == "volume":
             from avatarcap_tpu.body.skinning import build_skin_weight_volume
@@ -622,9 +666,9 @@ class AvatarCapture:
                             pts, pf)["occ"][:, 0]
 
                     vol, q_ovf = hierarchical_volume(
-                        vf, g, statics.cano_bounds, g.c_prior,
-                        g.prior_volume, o.iso_value, o.hier_alpha,
-                        o.refine_capacity)
+                        shard_value_fn(vf), g, statics.cano_bounds,
+                        g.c_prior, g.prior_volume, o.iso_value,
+                        o.hier_alpha, o.refine_capacity)
                 else:
                     # grid-structured pose features (z-broadcast) +
                     # one-kernel warp+template query
@@ -644,8 +688,8 @@ class AvatarCapture:
                     return out["cano_pts_ov"][0, :, 0]
 
                 vol, q_ovf = hierarchical_volume(
-                    vf_xla, g, statics.cano_bounds, g.c_prior,
-                    g.prior_volume, o.iso_value, o.hier_alpha,
+                    shard_value_fn(vf_xla), g, statics.cano_bounds,
+                    g.c_prior, g.prior_volume, o.iso_value, o.hier_alpha,
                     o.refine_capacity)
             else:
                 out, _ = query_occupancy(avatar_module, avatar_vars,
@@ -788,7 +832,7 @@ class AvatarCapture:
                         return recon_decode_fused(st.packed_recon, feats)
 
                     vol, q_ovf = hierarchical_volume(
-                        vfr, g, statics.cano_bounds,
+                        shard_value_fn(vfr), g, statics.cano_bounds,
                         0.5 * (g.c_prior + 1.0), prior01, 0.5,
                         o.hier_alpha,
                         o.recon_refine_capacity or o.refine_capacity)
@@ -809,7 +853,7 @@ class AvatarCapture:
                         method=ReconNetwork.decode_points)[0]
 
                 vol, q_ovf = hierarchical_volume(
-                    vfr_xla, g, statics.cano_bounds,
+                    shard_value_fn(vfr_xla), g, statics.cano_bounds,
                     0.5 * (g.c_prior + 1.0), prior01, 0.5,
                     o.hier_alpha,
                     o.recon_refine_capacity or o.refine_capacity)
