@@ -330,6 +330,20 @@ class CaptureOptions:
     # utilization, so its pass count IS the frame cost). 0 disables
     # (brute soup-vs-soup path). Overflow reported.
     recon_unique_capacity: int = 0
+    # How the RECON mesh gets vertex colors:
+    # 'nn' = the reference's NN transfer from the avatar soup's
+    # integrated colors (main.py:480-485) — parity mode; even deduped,
+    # the K=3 distance matmul is pinned at 3/128 MXU utilization
+    # (~0.7 s/frame at capture scale).
+    # 'direct' = integrate the SAME NeRF color ray at each unique recon
+    # vertex (its own position/normal) through the fused kernel — the
+    # kernel runs at >50% MFU, so integrating ~123k extra rays is ~4x
+    # cheaper than the NN search, and the color comes from the exact
+    # query point instead of its nearest avatar vertex (<=~2 mm away on
+    # a converged capture; the reference only transfers because a CUDA
+    # ray integral per recon vertex would cost it another full pass).
+    # Requires recon_unique_capacity > 0 and the fused query path.
+    recon_color_mode: str = "nn"
     use_fused_query: bool = True     # Pallas fast path for the grid query
     # 'volume': per-subject KNN-LBS weight grid + trilinear matrix
     # sampling (see body/skinning.py); 'knn': exact per-vertex KNN like
@@ -444,8 +458,11 @@ def anchored_near_flags(ro: jnp.ndarray, rd: jnp.ndarray, near: float,
     R = ro.shape[0]
     pts = (ro[:, None, :]
            + rd[:, None, :] * jnp.asarray(za)[None, :, None])  # (R, A, 3)
+    # bf16x3 cross term: ~um^2-scale d2 error at meter coords, 2.4x
+    # cheaper than f32 (measured 141 -> 58 ms at 1.31M anchors on v5e)
+    # and far inside this mode's own ~1.2 cm interpolation tolerance
     d2, _ = knn(pts.reshape(-1, 3), smpl_vertices, k=1,
-                chunk=65536)
+                chunk=65536, precision="high")
     d = jnp.sqrt(d2[:, 0]).reshape(R, n_anchors)
     d_s = jnp.matmul(d, jnp.asarray(W.T), precision="highest")  # (R, S)
     return d_s < threshold
@@ -926,6 +943,10 @@ class AvatarCapture:
                 ends = jnp.concatenate([ro + rd * near, ro + rd * far])
                 pf_ends = sample_feature_map_at_points(
                     feat_nchw, (ends - center)[None])[0]
+                # bf16 like the geometry path's grid_pose_features: the
+                # kernel consumes bf16 features anyway, and the lerp
+                # materializes (chunk, S, C) — halving it is ~free
+                pf_ends = pf_ends.astype(jnp.bfloat16)
                 pf0, pf1 = pf_ends[:U], pf_ends[U:]            # (U, C)
 
             chunk = min(o.nerf_chunk, U)
@@ -1031,26 +1052,45 @@ class AvatarCapture:
             rgb = jnp.where(valid_v[:, None], rgb, 0.0)
             return rgb, nerf_ovf, (v_u, rgb_u, valid_u)
 
-        def color_transfer_stage(recon_mesh: CaptureMesh, avatar_verts,
+        def color_transfer_stage(st: CaptureState, tex_vars, feat, frame,
+                                 recon_mesh: CaptureMesh, avatar_verts,
                                  avatar_colors, uniq):
-            """NN color transfer (reference main.py:480-485).
+            """Recon-mesh vertex colors (reference main.py:480-485).
 
-            With recon_unique_capacity > 0 and a deduped avatar color
-            set available, the K=1 search runs unique-vs-unique (both
-            sides deduped by volume-edge key) — ~30x fewer distance
-            rows than soup-vs-soup, which the profile showed dominating
-            the w_nerf frame (18.9 of 21.7 s). Returns (colors, ovf).
+            'nn' (parity): NN transfer from the avatar soup's integrated
+            colors. With recon_unique_capacity > 0 and a deduped avatar
+            color set available, the K=1 search runs unique-vs-unique
+            (both sides deduped by volume-edge key) — ~30x fewer
+            distance rows than soup-vs-soup, which the profile showed
+            dominating the w_nerf frame (18.9 of 21.7 s).
+
+            'direct': integrate the color ray AT each unique recon
+            vertex through the fused kernel instead (see
+            CaptureOptions.recon_color_mode). Returns (colors, ovf).
             """
             Ur = o.recon_unique_capacity
             if not Ur or uniq is None or recon_mesh.edge_ids is None:
                 _, idx = knn(recon_mesh.vertices, avatar_verts, k=1)
                 return avatar_colors[idx[:, 0]], jnp.zeros((), bool)
+            rep_r, uo_r, valid_r, _, ovf_r = _dedupe_soup(
+                recon_mesh.valid, recon_mesh.edge_ids, Ur)
+            if o.recon_color_mode == "direct":
+                v_r = recon_mesh.vertices[rep_r]
+                n_r = recon_mesh.normals[rep_r]
+                if o.use_fused_query:
+                    packed_tex = st.packed_tex or st.packed_query
+                    rgb_u = _nerf_ray_colors_fused(st, packed_tex, feat,
+                                                   v_r, n_r)
+                else:
+                    rgb_u = _nerf_ray_colors_chunked(st, tex_vars, feat,
+                                                     frame, v_r, n_r)
+                # bgr->rgb exactly like the avatar soup path (ref :477)
+                rgb_r = rgb_u[..., ::-1][uo_r]
+                return jnp.where(valid_r[:, None], rgb_r, 0.0), ovf_r
             v_u, rgb_u, valid_u = uniq
             # bgr->rgb was applied to the scattered soup colors; apply
             # the same to the unique color rows we transfer from
             rgb_u = rgb_u[..., ::-1]
-            rep_r, uo_r, valid_r, _, ovf_r = _dedupe_soup(
-                recon_mesh.valid, recon_mesh.edge_ids, Ur)
             q_u = recon_mesh.vertices[rep_r]
             # unused db capacity parks far away so it never wins the NN
             db = jnp.where(valid_u[:, None], v_u, 1e9)
@@ -1131,6 +1171,7 @@ class AvatarCapture:
                 results["avatar_colors"] = colors[..., ::-1]
                 if w_recon:
                     recon_colors, xfer_ovf = color_transfer_stage(
+                        st, tex_vars, feat, frame,
                         results["recon_mesh"], cano_mesh.vertices,
                         results["avatar_colors"], uniq)
                     results["recon_colors"] = recon_colors
@@ -1300,6 +1341,7 @@ class AvatarCapture:
             if w_recon:
                 with StageTimer.maybe(timer, "4_color_transfer"):
                     recon_colors, xfer_ovf = self._color_transfer(
+                        self.state, self.avatar_tex_vars, feat, frame,
                         results["recon_mesh"], cano_mesh.vertices,
                         results["avatar_colors"], uniq)
                     results["recon_colors"] = recon_colors

@@ -366,8 +366,19 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                           recon_refine_capacity=1 << 18,
                           raster_max_candidates=1 << 16,
                           skin_row_group=3,
-                          nerf_unique_capacity=(1 << 18) + (1 << 16),
-                          recon_unique_capacity=(1 << 17) + (1 << 15),
+                          # unique-vertex capacities sized to measured
+                          # counts + ~6% (capacity_stats: 276.9k avatar /
+                          # 122.8k recon unique verts) — every capacity
+                          # slot is a 64-sample color ray through the
+                          # kernel, so 10-25% slack was ~60 ms/frame
+                          nerf_unique_capacity=(1 << 18) + (1 << 15),
+                          recon_unique_capacity=1 << 17,
+                          # direct per-vertex ray integration beats the
+                          # K=3-matmul NN transfer ~4x (the kernel runs
+                          # >50% MFU, the transfer 3/128); wider ray
+                          # chunks amortize the lax.map bodies (program
+                          # preflighted at only ~3.7 of 14 GB)
+                          recon_color_mode="direct", nerf_chunk=32768,
                           render_res=render_res, fusion_iters=fusion_iters)
     if use_fused_query is not None:
         import dataclasses

@@ -213,6 +213,46 @@ class TestCapture:
         assert not bool(np.asarray(res_d["overflow"])) or \
             bool(np.asarray(res_s["overflow"]))  # dedup adds no overflow
 
+    @pytest.mark.slow
+    def test_recon_direct_colors(self, capture_env):
+        """recon_color_mode='direct' integrates the color ray AT each
+        unique recon vertex instead of NN-transferring from the avatar
+        soup (CaptureOptions.recon_color_mode). Both sample the same
+        smooth color field — on this toy body the recon surface sits
+        within ~a voxel of the avatar surface, so the two modes must
+        agree statistically (per-vertex they differ by the field's
+        variation over the NN hop), and direct colors must be valid
+        exactly on valid soup slots."""
+        import dataclasses
+        from avatarcap_tpu.pipeline.capture import AvatarCapture
+        capture, item, cam = capture_env
+        normal_img = np.zeros((128, 128, 3), np.float32)
+        normal_img[32:96, 32:96] = [0.0, 0.0, -1.0]
+        base = dataclasses.replace(
+            capture.opt, nerf_unique_capacity=1 << 15,
+            recon_unique_capacity=1 << 15)
+        kw = dict(w_recon=True, w_nerf=True, inferred_normal=normal_img,
+                  neck_vertex_idx=0, camera=cam)
+        caps = {}
+        for mode in ("nn", "direct"):
+            opts = dataclasses.replace(base, recon_color_mode=mode)
+            cap = AvatarCapture(capture.avatar, capture.avatar_vars,
+                                capture.statics, capture.grid,
+                                recon=capture.recon,
+                                recon_vars=capture.recon_vars,
+                                options=opts)
+            caps[mode] = cap.process_frame(dict(item), **kw)
+        rm = caps["nn"]["recon_mesh"]
+        n3 = 3 * int(rm.num_tris)
+        assert n3 > 0
+        c_nn = np.asarray(caps["nn"]["recon_colors"])[:n3]
+        c_dir = np.asarray(caps["direct"]["recon_colors"])[:n3]
+        assert np.isfinite(c_dir).all()
+        assert np.all(c_dir >= 0) and np.all(c_dir <= 1)
+        # same color field sampled ~an NN-hop apart: means agree
+        assert abs(c_dir.mean() - c_nn.mean()) < 0.05, (
+            c_dir.mean(), c_nn.mean())
+
     def test_render_live(self, capture_env):
         from avatarcap_tpu.render.camera import calc_front_mv, calc_back_mv
         capture, item, cam = capture_env
