@@ -447,10 +447,13 @@ class AvatarCapDataset:
             return (seed + 1000003 * (pos + 1)) % (2 ** 31 - 1)
 
         if workers == "process":
+            # cached across epochs (fork cost ~1 s); never shut down here
             ex, get_fn = self._fork_pool(num_workers)
+            own_pool = False
         else:
             from concurrent.futures import ThreadPoolExecutor
             ex = ThreadPoolExecutor(max_workers=num_workers)
+            own_pool = True
 
             def get_fn(i, s, lt):
                 return self.__getitem__(i, np.random.RandomState(s), lt)
@@ -478,21 +481,31 @@ class AvatarCapDataset:
                 yield {k: np.stack([it[k] for it in items])
                        for k in items[0]}
         finally:
-            ex.shutdown(wait=False, cancel_futures=True)
+            if own_pool:
+                ex.shutdown(wait=False, cancel_futures=True)
 
     def _fork_pool(self, num_workers: int):
         """Process pool whose forked children inherit this dataset via a
         module global — submitting a bound method would pickle SELF
         (pos maps + presampled points, 100s of MB) per task. Fork is
         safe here because __getitem__ is jax-free by contract (numpy +
-        cv2 only) and children never touch the TPU client."""
+        cv2 only) and children never touch the TPU client.
+
+        The pool is CACHED on the dataset and reused across epochs:
+        forking a JAX-initialized multi-GB parent costs ~1 s, which
+        dominated short epochs when paid per `batches()` call."""
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
-        global _FORK_DATASET
-        _FORK_DATASET = self
-        ex = ProcessPoolExecutor(max_workers=num_workers,
-                                 mp_context=mp.get_context("fork"))
-        return ex, _fork_getitem
+        pool = getattr(self, "_proc_pool", None)
+        if pool is None or pool[1] != num_workers:
+            if pool is not None:
+                pool[0].shutdown(wait=False, cancel_futures=True)
+            global _FORK_DATASET
+            _FORK_DATASET = self
+            ex = ProcessPoolExecutor(max_workers=num_workers,
+                                     mp_context=mp.get_context("fork"))
+            self._proc_pool = pool = (ex, num_workers)
+        return pool[0], _fork_getitem
 
     def device_batches(self, batch_size: int, shuffle: bool = True,
                        seed: int = 31359, drop_last: bool = True,

@@ -762,8 +762,17 @@ class AvatarCapture:
             if extra_tri_attrs is not None:
                 layers.append(extra_tri_attrs)
             wide = jnp.concatenate(layers, axis=-1)
-            f_out = interpolate(fri, wide)
-            b_out = interpolate(bri, wide)[:, ::-1]
+            # masked interpolation: gather only covered pixels (the body
+            # covers ~8-15% of the cano views); each call reports its
+            # own overflow (big-triangle coverage can exceed the
+            # windowed-candidate bound), OR'd into the frame flag
+            cc = o.raster_max_candidates
+            f_out, f_iovf = interpolate(fri, wide, covered_capacity=cc,
+                                        with_overflow=True)
+            b_out, b_iovf = interpolate(bri, wide, covered_capacity=cc,
+                                        with_overflow=True)
+            b_out = b_out[:, ::-1]
+            interp_ovf = f_iovf | b_iovf
             front_n = f_out[..., 0:3]
             back_n = b_out[..., 0:3]
             phong_f = jnp.where(fri.mask[..., None],
@@ -772,6 +781,7 @@ class AvatarCapture:
             phong_b = jnp.where(bri.mask[:, ::-1][..., None],
                                 phong_shade(b_out[..., 9:12],
                                             b_out[..., 12:15]), 1.0)
+            fri = fri._replace(overflow=fri.overflow | interp_ovf)
             base = (fri, bri, front_n, back_n, (phong_f, phong_b))
             if extra_tri_attrs is not None:
                 # same convention as cano_interpolate: back x-flipped

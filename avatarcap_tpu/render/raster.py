@@ -76,13 +76,42 @@ class RasterIndex(NamedTuple):
 
 
 def interpolate(ri: RasterIndex, attrs: jnp.ndarray,
-                bg_value: float = 0.0) -> jnp.ndarray:
-    """Interpolate per-vertex attrs (T, 3, A) at a RasterIndex's pixels."""
+                bg_value: float = 0.0,
+                covered_capacity: int = 0,
+                with_overflow: bool = False):
+    """Interpolate per-vertex attrs (T, 3, A) at a RasterIndex's pixels.
+
+    covered_capacity > 0: gather only at COVERED pixels (compacted) and
+    scatter the rows back over a bg-filled image. An MC-soup body covers
+    ~8-15% of a 512^2 canonical view, yet the dense form's row gathers
+    (latency-bound, ~45 ns each) walk every pixel. Covered pixels are
+    bounded by the index pass's covered candidates PLUS any exact
+    big-triangle coverage, so the masked path reports its own () bool
+    overflow (request it with ``with_overflow``; dropped coverage is
+    never silent).
+    """
     H, W = ri.mask.shape
+    A = attrs.shape[-1]
+    if covered_capacity > 0:
+        from avatarcap_tpu.ops.compaction import compact_mask_indices
+        P = H * W
+        pix, n_cov, live = compact_mask_indices(ri.mask.reshape(-1),
+                                                covered_capacity)
+        at = attrs[ri.tri[pix]]                         # (C, 3, A)
+        out_c = jnp.sum(at * ri.bw[pix][..., None], axis=1)
+        out = jnp.full((P + 1, A), bg_value, out_c.dtype).at[
+            jnp.where(live, pix, P)].set(out_c, mode="drop")[:P]
+        img = out.reshape(H, W, A)
+        if with_overflow:
+            return img, n_cov > covered_capacity
+        return img
     at = attrs[ri.tri]                                  # (P, 3, A)
     out = jnp.sum(at * ri.bw[..., None], axis=1)        # (P, A)
     out = jnp.where(ri.mask.reshape(-1)[:, None], out, bg_value)
-    return out.reshape(H, W, attrs.shape[-1])
+    img = out.reshape(H, W, A)
+    if with_overflow:
+        return img, jnp.zeros((), bool)
+    return img
 
 
 def _perspective_weights(w0, w1, iw_tri):
@@ -230,10 +259,22 @@ def rasterize_index(clip_verts: jnp.ndarray, valid_tris: jnp.ndarray,
     safe_winner = jnp.where(mask, winner[:npix], 0)
     tri_of = safe_winner & (Tp - 1)                     # tri of slot-major id
 
-    # Perspective-correct weights at winners (2 flat gathers + 1 row
-    # gather at P pixels).
-    bw = _perspective_weights(w0_flat[safe_winner], w1_flat[safe_winner],
-                              iw[tri_of])               # (P, 3)
+    # Perspective-correct weights at winners. When the candidate
+    # capacity is tighter than the pixel count, gather only at COVERED
+    # pixels (winners <= covered candidates, already capacity-checked)
+    # and row-scatter back — the dense form pays 3 latency-bound
+    # gathers at every pixel of a ~10%-covered view.
+    if 0 < max_c < npix:
+        pixc, _, livec = compact_mask_indices(mask, max_c)
+        win_c = safe_winner[pixc]
+        bw_c = _perspective_weights(w0_flat[win_c], w1_flat[win_c],
+                                    iw[win_c & (Tp - 1)])
+        bw = jnp.zeros((npix + 1, 3), bw_c.dtype).at[
+            jnp.where(livec, pixc, npix)].set(bw_c, mode="drop")[:npix]
+    else:
+        bw = _perspective_weights(w0_flat[safe_winner],
+                                  w1_flat[safe_winner],
+                                  iw[tri_of])           # (P, 3)
     out_depth = jnp.where(mask, zbuf[:npix], jnp.inf)
 
     if big_tri_capacity > 0:
@@ -389,10 +430,22 @@ def rasterize_index_pair(clip_front: jnp.ndarray, clip_back: jnp.ndarray,
         # ortho shortcut: the pair precondition is w == 1 everywhere, so
         # perspective-correct weights ARE the screen barycentrics — skip
         # the iw[tri_of] row gather + division (~12 ms/frame of 12 B
-        # latency-bound row DMAs at 512^2)
-        w0_w = w0_flat[safe_winner]
-        w1_w = w1_flat[safe_winner]
-        bw = jnp.stack([w0_w, w1_w, 1.0 - w0_w - w1_w], axis=-1)
+        # latency-bound row DMAs at 512^2). Gather at covered pixels
+        # only when the candidate capacity is tighter than the view
+        # (winners <= covered candidates, already capacity-checked).
+        if 0 < max_c < npix:
+            pixc, _, livec = compact_mask_indices(mask, max_c)
+            win_c = safe_winner[pixc]
+            w0_c = w0_flat[win_c]
+            w1_c = w1_flat[win_c]
+            bw_c = jnp.stack([w0_c, w1_c, 1.0 - w0_c - w1_c], axis=-1)
+            bw = jnp.zeros((npix + 1, 3), bw_c.dtype).at[
+                jnp.where(livec, pixc, npix)].set(bw_c,
+                                                  mode="drop")[:npix]
+        else:
+            w0_w = w0_flat[safe_winner]
+            w1_w = w1_flat[safe_winner]
+            bw = jnp.stack([w0_w, w1_w, 1.0 - w0_w - w1_w], axis=-1)
         out_depth = jnp.where(mask, zbuf[s * npix:(s + 1) * npix], jnp.inf)
 
         if big_tri_capacity > 0:
@@ -446,8 +499,14 @@ def rasterize(clip_verts: jnp.ndarray, attrs: jnp.ndarray,
                          window=window, cull=cull,
                          max_candidates=max_candidates,
                          big_tri_capacity=big_tri_capacity)
-    return RasterOutput(attrs=interpolate(ri, attrs, bg_value),
-                        depth=ri.depth, mask=ri.mask, overflow=ri.overflow)
+    # masked interpolation at the candidate capacity; its own overflow
+    # bit covers the case where exact big-triangle coverage pushes the
+    # covered-pixel count past the windowed-candidate bound
+    img, iovf = interpolate(ri, attrs, bg_value,
+                            covered_capacity=max_candidates,
+                            with_overflow=True)
+    return RasterOutput(attrs=img, depth=ri.depth, mask=ri.mask,
+                        overflow=ri.overflow | iovf)
 
 
 def _big_triangle_pass(px, py, pz, iw, area2, is_big, capacity,
