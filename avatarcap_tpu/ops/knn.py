@@ -23,11 +23,15 @@ def _knn_chunk(q: jnp.ndarray, db: jnp.ndarray, db_sq: jnp.ndarray, k: int,
                precision: str = "highest"):
     """q: (C, 3), db: (M, 3), db_sq: (M,) -> dists (C, k), idx (C, k)."""
     # |q - v|^2 = |q|^2 - 2 q.v + |v|^2 ; the cross term is a matmul (MXU).
-    # Zero-pad the contraction dim 3 -> 8: XLA lowers K=3 dots through a
-    # slow path (measured on v5e: 141 -> 98 ms at 1.31M x 6.8k f32, 347
-    # -> 308 ms at 164k x 328k bf16x3); the zero columns add exactly 0.
-    q = jnp.pad(q, ((0, 0), (0, 8 - q.shape[-1])))
-    db = jnp.pad(db, ((0, 0), (0, 8 - db.shape[-1])))
+    # For the approximate precisions, zero-pad the contraction dim
+    # 3 -> 8: XLA lowers K=3 dots through a slow path (measured on v5e:
+    # 347 -> 308 ms at 164k x 328k bf16x3). NOT at 'highest': padding
+    # flips the lowering to a kernel whose rounding breaks the exact
+    # d2 == 0 cancellation at q == v that exactness-sensitive callers
+    # (Chamfer metrics, parity ties) rely on.
+    if precision != "highest":
+        q = jnp.pad(q, ((0, 0), (0, 8 - q.shape[-1])))
+        db = jnp.pad(db, ((0, 0), (0, 8 - db.shape[-1])))
     cross = jnp.matmul(q, db.T, precision=precision)  # (C, M)
     d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * cross + db_sq[None, :]
     if k == 1:

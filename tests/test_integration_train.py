@@ -191,7 +191,7 @@ class TestTrainingLoop:
         lrs = jnp.asarray([1e-3, 0.0])
         rng = jax.random.PRNGKey(1)
         losses = []
-        for i in range(8):
+        for i in range(6):
             rng, r = jax.random.split(rng)
             state, m = trainer.train_step(state, batch, lrs, r)
             losses.append(float(m["total_loss"]))
