@@ -8,6 +8,7 @@ from conftest import make_toy_smpl_params, uv_sphere
 
 
 class TestWatertight:
+    @pytest.mark.slow
     def test_sphere_reconstruction(self, rng):
         from avatarcap_tpu.tools.preprocess import watertight_from_points
         # oriented points on a unit sphere
@@ -76,6 +77,7 @@ class TestSubdivide:
 
 
 class TestRealLayoutEndToEnd:
+    @pytest.mark.slow
     def test_preprocess_trains_with_rgb(self, tmp_path):
         """VERDICT r1 missing item #1/#2: a real-layout subject written by
         preprocess_training_data (textured scan -> orbit renders) trains
