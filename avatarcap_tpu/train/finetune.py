@@ -113,14 +113,17 @@ def finetune_texture_template(cfg, module: GeoTexAvatar,
     step_fn = make_finetune_step(module, optimizer, statics,
                                  n_samples=cfg.n_samples)
 
-    # REAL copies: the step donates its TrainState, whose first-step
-    # buffers are `state`'s own arrays — an aliasing anchor would be
-    # invalidated by the donation after step 1
+    # REAL copies everywhere the caller's buffers would otherwise flow
+    # into the DONATED TrainState: the frozen anchor must survive every
+    # step, and the caller's `state` (often aliasing its original
+    # `variables`) must survive the first step
     init_variables = {"params": jax.tree.map(jnp.copy, state.params),
                       "batch_stats": jax.tree.map(jnp.copy,
                                                   state.batch_stats)}
-    ft_state = TrainState(state.params, state.batch_stats,
-                          optimizer.init(state.params),
+    ft_params = jax.tree.map(jnp.copy, state.params)
+    ft_state = TrainState(ft_params,
+                          jax.tree.map(jnp.copy, state.batch_stats),
+                          optimizer.init(ft_params),
                           jnp.zeros((), jnp.int32))
 
     ft_idx = cfg.training.finetune_tex_data_idx
