@@ -228,9 +228,11 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
                  else list(range(0, data_num, interval)))
     use_recon = w_recon and recon is not None
     if stream > 0:
-        # batched frame-parallel path (reference main.py:348 loop, but
-        # vmapped over frames and sharded over the device mesh — 1.55
-        # frames/s on one v5e at batch 4 vs 1/0.572 single-frame)
+        # streaming path (reference main.py:348 loop): on ONE device the
+        # pipelined sequential program dominates (2.38 vs 1.94 frames/s
+        # on a v5e — vmap serializes a batch's stages on one chip, see
+        # PERFORMANCE.md r5); on a multi-device mesh frames shard over
+        # the data axis via the batched program
         from avatarcap_tpu.parallel.mesh import make_mesh
         from avatarcap_tpu.pipeline.streaming import StreamingCapture
         if not frame_ids:
@@ -240,17 +242,20 @@ def run_avatarcap(cfg, w_recon=True, w_nerf=False, save_avatar_mesh=False,
             img_hw = load_frame(frame_ids[0])[1].shape[:2]
         else:
             img_hw = (cfg.testing.render_res, cfg.testing.render_res)
-        sc = StreamingCapture(capture, make_mesh(jax.devices()),
+        devices = jax.devices()
+        sc = StreamingCapture(capture, make_mesh(devices),
                               camera=cam, image_size=img_hw,
                               frames_per_device=stream,
                               w_recon=use_recon, w_nerf=w_nerf,
                               neck_vertex_idx=3068)
+        single = len(devices) == 1
         # load + feed one streaming batch at a time: a long sequence
         # never holds more than sc.batch decoded frames on the host
         for start in range(0, len(frame_ids), sc.batch):
             pairs = [load_frame(i)
                      for i in frame_ids[start:start + sc.batch]]
-            res_list = sc.run(
+            runner = sc.run_pipelined if single else sc.run
+            res_list = runner(
                 [p[0] for p in pairs],
                 inferred_normals=([p[1] for p in pairs] if use_recon
                                   else None))
