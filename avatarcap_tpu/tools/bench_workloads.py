@@ -284,8 +284,15 @@ def fit_recon_decoder(recon, recon_vars, statics, grid, inferred_normal,
 
 
 def build_capture_env(vol_res=(384, 384, 128), render_res=512,
-                      fusion_iters=100, max_tris=(1 << 19) + (1 << 17),
-                      max_active=(1 << 18) + (1 << 16), pos_map_res=256,
+                      fusion_iters=100,
+                      # 6-7% over the measured wrinkled-body counts
+                      # (553.8k tris / 276.9k active cubes,
+                      # capacity_stats): every soup walk — MC emission
+                      # fill, skinning row gathers, lift gathers, NN
+                      # dedup — runs at static capacity, and the
+                      # frame-level overflow bit guards the sizing
+                      max_tris=(1 << 19) + (1 << 16),
+                      max_active=(1 << 18) + (1 << 15), pos_map_res=256,
                       use_fused_query=None, dense: bool = True,
                       fit_template: bool = True,
                       wrinkle_amp: float = 0.006):
@@ -363,6 +370,12 @@ def build_capture_env(vol_res=(384, 384, 128), render_res=512,
                                              (1 << 18) + (1 << 15)),
                           recon_max_active=min(max_active,
                                                (1 << 17) + (1 << 14)),
+                          # 9% over the measured 1.80M refined nodes;
+                          # the refine kernel + occupancy scatter walk
+                          # this capacity (divisible by 8 for the
+                          # point-shard assert)
+                          refine_capacity=(1 << 20) + (1 << 19)
+                          + (1 << 18) + (1 << 17),
                           recon_refine_capacity=1 << 18,
                           raster_max_candidates=1 << 16,
                           skin_row_group=3,
