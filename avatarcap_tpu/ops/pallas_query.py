@@ -252,18 +252,19 @@ def recon_decode_fused(packed_weights, feats: jnp.ndarray,
 # Fully-fused query: warp offsets -> warped points -> template, one kernel
 # ---------------------------------------------------------------------------
 
-def _full_query_kernel(pts_ref, pf_ref,
-                       # offset decoder (BN folded) + head
-                       v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6, v7, c7,
-                       ow, ob,
-                       # template
-                       w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
-                       gw0, gb0, gw1, gb1,
-                       cw0, cb0, cw1, cb1, cw2, cb2,
-                       out_ref):
-    pts = pts_ref[:].astype(jnp.float32)          # (3, T)
-    x = jnp.concatenate([pts.astype(jnp.bfloat16),
-                         pf_ref[:].astype(jnp.bfloat16)], axis=0)  # (67, T)
+def _warp_template_core(pts, pf,
+                        v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6,
+                        v7, c7, ow, ob,
+                        w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                        w6, b6, gw0, gb0, gw1, gb1,
+                        cw0, cb0, cw1, cb1, cw2, cb2):
+    """Warp-offset decode + DoubleTNet template on one (·, T) panel.
+
+    pts: (3, T) f32 pre-warp canonical samples; pf: (64, T) bf16 pose
+    features. Returns (geo (2, T) f32, rgb (3, T) f32, off (3, T) f32).
+    Shared by the per-point and the per-ray kernels below.
+    """
+    x = jnp.concatenate([pts.astype(jnp.bfloat16), pf], axis=0)  # (67, T)
     h = _softplus(_dot(v1, x, c1)).astype(jnp.bfloat16)
     h = _softplus(_dot(v2, h, c2)).astype(jnp.bfloat16)
     h = _softplus(_dot(v3, h, c3)).astype(jnp.bfloat16)
@@ -292,7 +293,24 @@ def _full_query_kernel(pts_ref, pf_ref,
     c = jax.nn.relu(_dot(cw0, feat, cb0)).astype(jnp.bfloat16)
     c = jax.nn.relu(_dot(cw1, c, cb1)).astype(jnp.bfloat16)
     rgb = jax.nn.sigmoid(_dot(cw2, c, cb2))       # (3, T)
+    return geo, rgb, off
 
+
+def _full_query_kernel(pts_ref, pf_ref,
+                       # offset decoder (BN folded) + head
+                       v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6, v7, c7,
+                       ow, ob,
+                       # template
+                       w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+                       gw0, gb0, gw1, gb1,
+                       cw0, cb0, cw1, cb1, cw2, cb2,
+                       out_ref):
+    pts = pts_ref[:].astype(jnp.float32)          # (3, T)
+    geo, rgb, off = _warp_template_core(
+        pts, pf_ref[:].astype(jnp.bfloat16),
+        v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6, v7, c7, ow, ob,
+        w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+        gw0, gb0, gw1, gb1, cw0, cb0, cw1, cb1, cw2, cb2)
     alpha = jax.nn.relu(geo[1:2])
     out_ref[:] = jnp.concatenate(
         [geo[0:1], alpha, rgb, off], axis=0)      # (8, T)
@@ -334,6 +352,160 @@ def warp_template_query_fused(packed_offset, packed_template,
     out = out[:, :N]
     return {"occ": out[0:1].T, "alpha": out[1:2].T,
             "rgb": out[2:5].T, "offset": out[5:8].T}
+
+
+# ---------------------------------------------------------------------------
+# Per-RAY color integral: sample gen + feature lerp + warp+template MLP +
+# alpha compositing, all inside one kernel invocation per ray tile.
+# ---------------------------------------------------------------------------
+
+def _ray_color_kernel(ro_ref, rd_ref, pf0_ref, pf1_ref, danch_ref,
+                      bmin_ref, bmax_ref,
+                      v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6, v7, c7,
+                      ow, ob,
+                      w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+                      gw0, gb0, gw1, gb1,
+                      cw0, cb0, cw1, cb1, cw2, cb2,
+                      out_ref, *, n_samples: int, near: float, far: float,
+                      threshold: float, n_anchors: int):
+    """One color ray per lane; the n_samples depth loop runs in VMEM.
+
+    The chunked XLA path (pipeline/capture.py:_nerf_ray_colors_fused)
+    materializes every (chunk*S, ·) sample tensor in HBM between the map
+    body's fusions — ~4.6 GB/frame of pts/features/kernel-outputs at
+    capture scale, measured as 2x the kernel's own time in pure
+    dynamic-update-slice + data-formatting overhead. Here a ray tile
+    loads (3+3)f32 + 2x64bf16 + A f32 per ray ONCE; each fori_loop step
+    builds its sample positions ro + rd*z_s and the lerped pose features
+    in registers, runs the same warp+template core as the per-point
+    kernel, and folds the sample straight into the running transmittance
+    (the reference's raw2outputs recurrence, volume_render.py): HBM
+    traffic drops ~S-fold to the per-ray inputs + 3 output rows.
+
+    Near-body masking uses the anchored-distance interpolation of
+    CaptureOptions.near_flag_mode == 'ray' (capture.py:anchored_near_
+    flags): the A exact per-anchor distances arrive per ray and each
+    sample lerps the two bracketing anchors (uniform anchor grid ->
+    scalar segment arithmetic, exactly searchsorted on a uniform grid).
+    Bounds masking replicates the warped-point box test.
+    """
+    Tr_shape = ro_ref.shape[1]
+    ro = ro_ref[:].astype(jnp.float32)            # (3, T)
+    rd = rd_ref[:].astype(jnp.float32)            # (3, T)
+    pf0 = pf0_ref[:].astype(jnp.bfloat16)         # (64, T)
+    pf1 = pf1_ref[:].astype(jnp.bfloat16)
+    danch = danch_ref[:].astype(jnp.float32)      # (A, T)
+    bmin = bmin_ref[:].astype(jnp.float32)        # (3, 1)
+    bmax = bmax_ref[:].astype(jnp.float32)
+    gap = (far - near) / (n_samples - 1)
+
+    def body(s, carry):
+        trans, acc = carry
+        s_f = s.astype(jnp.float32)
+        z_s = near + gap * s_f
+        w_s = s_f / (n_samples - 1)                # f32 scalar (Mosaic
+        pts = ro + rd * z_s                        # has no bf16 SREG ops)
+        pf = (pf0.astype(jnp.float32) * (1.0 - w_s)
+              + pf1.astype(jnp.float32) * w_s).astype(jnp.bfloat16)
+        geo, rgb, off = _warp_template_core(
+            pts, pf,
+            v1, c1, v2, c2, v3, c3, v4, c4, v5, c5, v6, c6, v7, c7,
+            ow, ob,
+            w0, b0, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+            gw0, gb0, gw1, gb1, cw0, cb0, cw1, cb1, cw2, cb2)
+        # anchored near flag: lerp the two bracketing anchor distances
+        pos = s_f * ((n_anchors - 1) / (n_samples - 1))
+        seg = jnp.minimum(jnp.floor(pos), n_anchors - 2.0)
+        f = pos - seg
+        d_s = jnp.zeros((1, Tr_shape), jnp.float32)
+        for a in range(n_anchors):
+            c_a = (jnp.where(seg == a, 1.0 - f, 0.0)
+                   + jnp.where(seg == a - 1.0, f, 0.0))
+            d_s = d_s + c_a * danch[a:a + 1]
+        near_ok = d_s < threshold                  # (1, T)
+        wpts = pts + off
+        inside = jnp.all((wpts > bmin) & (wpts < bmax),
+                         axis=0, keepdims=True)    # (1, T)
+        sigma = jnp.where(inside & near_ok,
+                          jax.nn.relu(geo[1:2]), 0.0)
+        alpha = 1.0 - jnp.exp(-sigma * gap)        # (1, T)
+        acc = acc + (alpha * trans) * rgb          # exclusive transmittance
+        trans = trans * (1.0 - alpha + 1e-10)
+        return trans, acc
+
+    trans0 = jnp.ones((1, Tr_shape), jnp.float32)
+    acc0 = jnp.zeros((3, Tr_shape), jnp.float32)
+    trans, acc = jax.lax.fori_loop(0, n_samples, body, (trans0, acc0))
+    out_ref[:] = jnp.concatenate(
+        [acc, trans, jnp.zeros((4, Tr_shape), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "n_samples", "near", "far", "threshold"))
+def ray_color_query_fused(packed_offset, packed_template,
+                          ro: jnp.ndarray, rd: jnp.ndarray,
+                          pf0: jnp.ndarray, pf1: jnp.ndarray,
+                          danch: jnp.ndarray, bounds: jnp.ndarray,
+                          n_samples: int, near: float, far: float,
+                          threshold: float = 0.08, tile: int = 2048):
+    """Fused per-ray color integral (reference main.py:464-478 semantics
+    via the raw2outputs recurrence of ops/volume_render.py).
+
+    Args:
+      ro, rd: (R, 3) ray origins / unit directions (canonical space).
+      pf0, pf1: (R, 64) pose features sampled at the ray's near/far
+        endpoints (depth-linear lerp between them per sample —
+        CaptureOptions.nerf_feat_mode == 'lerp').
+      danch: (R, A) exact distances to the body at A uniform depth
+        anchors (near_flag_mode == 'ray' masking data).
+      bounds: (2, 3) canonical bounds for the warped-point box mask.
+      n_samples, near, far: STATIC sample grid (z = linspace(near, far,
+        n_samples) along each ray).
+    Returns:
+      (R, 3) composited ray colors.
+    """
+    R = ro.shape[0]
+    A = danch.shape[1]
+    pad = (-R) % tile
+    rp = R + pad
+
+    def padT(a, dt):
+        return jnp.pad(a, ((0, pad), (0, 0))).T.astype(dt)
+
+    roT = padT(ro, jnp.float32)                    # (3, Rp)
+    rdT = padT(rd, jnp.float32)
+    pf0T = padT(pf0, jnp.bfloat16)                 # (64, Rp)
+    pf1T = padT(pf1, jnp.bfloat16)
+    danchT = padT(danch, jnp.float32)              # (A, Rp)
+    bmin = bounds[0][:, None].astype(jnp.float32)  # (3, 1)
+    bmax = bounds[1][:, None].astype(jnp.float32)
+
+    weights = tuple(packed_offset) + tuple(packed_template)
+    weight_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_ray_color_kernel, n_samples=n_samples,
+                             near=near, far=far, threshold=threshold,
+                             n_anchors=A)
+    out = pl.pallas_call(
+        kern,
+        grid=(rp // tile,),
+        in_specs=[tile_spec(3), tile_spec(3), tile_spec(64),
+                  tile_spec(64), tile_spec(A),
+                  pl.BlockSpec((3, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=tile_spec(8),
+        out_shape=jax.ShapeDtypeStruct((8, rp), jnp.float32),
+    )(roT, rdT, pf0T, pf1T, danchT, bmin, bmax, *weights)
+    return out[:3, :R].T
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

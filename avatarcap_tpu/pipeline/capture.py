@@ -37,7 +37,8 @@ from avatarcap_tpu.models.recon import ReconNetwork
 from avatarcap_tpu.pipeline.avatar import (
     AvatarStatics, FrameInputs, compute_pose_features, query_occupancy,
     pack_fused_query_weights, grid_pose_features, render_rays)
-from avatarcap_tpu.ops.pallas_query import warp_template_query_fused
+from avatarcap_tpu.ops.pallas_query import (ray_color_query_fused,
+                                            warp_template_query_fused)
 from avatarcap_tpu.ops.marching_cubes import marching_tets, mesh_grid_coords
 from avatarcap_tpu.ops.sobel import sample_volume_normals
 from avatarcap_tpu.ops.knn import knn, approx_lbs_weights
@@ -455,6 +456,23 @@ def anchored_near_flags(ro: jnp.ndarray, rd: jnp.ndarray, near: float,
     W = np.zeros((n_samples, n_anchors), np.float32)
     W[np.arange(n_samples), seg] = 1.0 - w1
     W[np.arange(n_samples), seg + 1] = w1
+    d = anchor_distances(ro, rd, near, far, smpl_vertices,
+                         n_anchors=n_anchors)
+    d_s = jnp.matmul(d, jnp.asarray(W.T), precision="highest")  # (R, S)
+    return d_s < threshold
+
+
+def anchor_distances(ro: jnp.ndarray, rd: jnp.ndarray, near: float,
+                     far: float, smpl_vertices: jnp.ndarray,
+                     n_anchors: int = 4):
+    """Exact distance-to-body at A uniform depth anchors per ray.
+
+    The masking data of near_flag_mode == 'ray': anchored_near_flags
+    interpolates these on the sample grid host-side; the fused ray
+    kernel (ops/pallas_query.py:ray_color_query_fused) does the same
+    lerp in-kernel per sample.
+    """
+    za = np.linspace(near, far, n_anchors).astype(np.float32)
     R = ro.shape[0]
     pts = (ro[:, None, :]
            + rd[:, None, :] * jnp.asarray(za)[None, :, None])  # (R, A, 3)
@@ -463,9 +481,7 @@ def anchored_near_flags(ro: jnp.ndarray, rd: jnp.ndarray, near: float,
     # and far inside this mode's own ~1.2 cm interpolation tolerance
     d2, _ = knn(pts.reshape(-1, 3), smpl_vertices, k=1,
                 chunk=65536, precision="high")
-    d = jnp.sqrt(d2[:, 0]).reshape(R, n_anchors)
-    d_s = jnp.matmul(d, jnp.asarray(W.T), precision="highest")  # (R, S)
-    return d_s < threshold
+    return jnp.sqrt(d2[:, 0]).reshape(R, n_anchors)
 
 
 def _dedupe_soup(tri_valid: jnp.ndarray, edge_ids: jnp.ndarray,
@@ -958,6 +974,20 @@ class AvatarCapture:
                 # materializes (chunk, S, C) — halving it is ~free
                 pf_ends = pf_ends.astype(jnp.bfloat16)
                 pf0, pf1 = pf_ends[:U], pf_ends[U:]            # (U, C)
+
+            if o.nerf_feat_mode == "lerp" and o.near_flag_mode == "ray":
+                # Whole integral inside the kernel: sample positions,
+                # feature lerp, near/bounds masks and the compositing
+                # recurrence never touch HBM (the chunked map below
+                # moved ~4.6 GB/frame of (chunk*S, .) intermediates —
+                # 2x the kernel's own time in DUS/data-formatting).
+                danch = anchor_distances(
+                    ro, rd, near, far, st.statics.cano_smpl_vertices,
+                    n_anchors=o.near_flag_anchors)
+                return ray_color_query_fused(
+                    packed_tex["offset"], packed_tex["template"],
+                    ro, rd, pf0, pf1, danch, st.statics.cano_bounds,
+                    n_samples=S, near=near, far=far)
 
             chunk = min(o.nerf_chunk, U)
             pad = (-U) % chunk

@@ -87,6 +87,32 @@ def measure(n: int = 4 * 1024 * 1024, iters: int = 10) -> list:
         "tflop_per_s": round(tf, 1),
         "mfu_pct_v5e_bf16": round(100 * tf / V5E_BF16_PEAK_TFLOPS, 1)})
 
+    # per-ray color integral: same MLP core, S=64 samples generated and
+    # composited in-kernel (the capture w_nerf path)
+    S = 64
+    n_rays = max(n // S, 2048)
+    ro = jax.random.uniform(rng, (n_rays, 3), jnp.float32, -0.5, 0.5)
+    rd = jax.random.normal(jax.random.PRNGKey(4), (n_rays, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    pf0 = jax.random.normal(jax.random.PRNGKey(5), (n_rays, 64),
+                            jnp.bfloat16)
+    pf1 = jax.random.normal(jax.random.PRNGKey(6), (n_rays, 64),
+                            jnp.bfloat16)
+    danch = jnp.full((n_rays, 4), 0.01, jnp.float32)
+    bounds = jnp.asarray([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+    from avatarcap_tpu.ops.pallas_query import ray_color_query_fused
+    dt = _time(lambda *a: ray_color_query_fused(
+        packed["offset"], packed["template"], *a, bounds,
+        n_samples=S, near=0.98, far=1.05),
+        ro, rd, pf0, pf1, danch, iters=iters)
+    tf = n_rays * S * fl / dt / 1e12
+    reports.append({
+        "kernel": "ray_color_query_fused", "n_points": n_rays * S,
+        "mflop_per_point": round(fl / 1e6, 3),
+        "mpts_per_s": round(n_rays * S / dt / 1e6, 2),
+        "tflop_per_s": round(tf, 1),
+        "mfu_pct_v5e_bf16": round(100 * tf / V5E_BF16_PEAK_TFLOPS, 1)})
+
     dt = _time(lambda f: recon_decode_fused(packed_recon, f),
                feats, iters=iters)
     fl = _matmul_flops_per_point([packed_recon])

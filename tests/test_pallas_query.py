@@ -95,3 +95,77 @@ class TestFusedQueryInterpret:
         sub = grid_pose_features(feat, statics, gs, idx)
         np.testing.assert_allclose(np.asarray(sub),
                                    np.asarray(full[idx]), atol=1e-6)
+
+
+class TestRayColorKernel:
+    def test_matches_chunked_compositing(self, env):
+        """ray_color_query_fused == the chunked XLA compositing path
+        (pipeline/capture.py:_nerf_ray_colors_fused's map body) on the
+        same per-sample kernel outputs: sample gen + feature lerp +
+        anchored near/bounds masks + raw2outputs recurrence."""
+        from avatarcap_tpu.pipeline.avatar import pack_fused_query_weights
+        from avatarcap_tpu.pipeline.capture import (anchor_distances,
+                                                    anchored_near_flags)
+        from avatarcap_tpu.ops.pallas_query import (
+            ray_color_query_fused, warp_template_query_fused)
+
+        module, variables, statics, pos_map = env
+        packed = pack_fused_query_weights(variables)
+        # the toy template's geo head is tiny-init (U(+-1e-5)) so alpha
+        # would be ~0 along every ray; randomize it for a non-trivial
+        # compositing comparison (both paths consume the same tuple)
+        tpl = list(packed["template"])
+        kg = jax.random.PRNGKey(5)
+        tpl[16] = jax.random.normal(kg, tpl[16].shape).astype(tpl[16].dtype)
+        tpl[17] = jnp.ones_like(tpl[17]) * 0.5
+        packed = {"offset": packed["offset"], "template": tuple(tpl)}
+        R, S, A = 192, 8, 4
+        near, far = 1.0 - 0.02, 1.0 + 0.05
+        key = jax.random.PRNGKey(11)
+        k1, k2 = jax.random.split(key)
+        base = statics.cano_smpl_vertices[
+            jax.random.randint(k1, (R,), 0,
+                               statics.cano_smpl_vertices.shape[0])]
+        n = jax.random.normal(k2, (R, 3))
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        ro, rd = base + n, -n        # samples land within +-5 cm of base
+        pf0 = jax.random.normal(k1, (R, 64)).astype(jnp.bfloat16)
+        pf1 = jax.random.normal(k2, (R, 64)).astype(jnp.bfloat16)
+        danch = anchor_distances(ro, rd, near, far,
+                                 statics.cano_smpl_vertices, n_anchors=A)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = ray_color_query_fused(
+                packed["offset"], packed["template"], ro, rd, pf0, pf1,
+                danch, statics.cano_bounds, n_samples=S, near=near,
+                far=far, tile=256)
+
+            # reference: per-sample kernel outputs + XLA compositing
+            t = jnp.linspace(0.0, 1.0, S)
+            z = near * (1.0 - t) + far * t
+            dz = jnp.concatenate([z[1:] - z[:-1], (z[-1] - z[-2])[None]])
+            pts = (ro[:, None, :] + rd[:, None, :]
+                   * z[None, :, None]).reshape(-1, 3)
+            w = ((z - near) / (far - near)).astype(pf0.dtype)
+            pf = (pf0[:, None, :] * (1.0 - w)[None, :, None]
+                  + pf1[:, None, :] * w[None, :, None]).reshape(-1, 64)
+            out = warp_template_query_fused(
+                packed["offset"], packed["template"], pts, pf, tile=256)
+            near_ok = anchored_near_flags(
+                ro, rd, near, far, S, statics.cano_smpl_vertices,
+                n_anchors=A).reshape(-1)
+            wpts = pts + out["offset"]
+            inside = jnp.all((wpts > statics.cano_bounds[0])
+                             & (wpts < statics.cano_bounds[1]), axis=-1)
+            sigma = jnp.where(inside & near_ok, out["alpha"][:, 0], 0.0)
+            alpha = 1.0 - jnp.exp(-sigma.reshape(-1, S) * dz[None, :])
+            trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+            trans = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+            wts = alpha * trans
+            rgb = out["rgb"].reshape(-1, S, 3)
+            ref = jnp.einsum("rs,rsc->rc", wts, rgb)
+
+        assert bool(jnp.any(ref > 1e-3)), "degenerate case: all rays empty"
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3)
